@@ -1,0 +1,207 @@
+"""Rasterizer tests: reference compositor sanity, tiled-vs-reference
+equivalence, and gradient checks (incl. the screen-space mean gradient
+used for densification)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trase_tpu.ops import projection as P
+from trase_tpu.ops import rasterize as R
+from trase_tpu.ops import rasterize_ref as RR
+from trase_tpu.utils import graphics
+from trase_tpu.utils.sh import rgb_to_sh
+
+
+def make_camera(H, W, fov_deg=60.0, cam_z=-5.0):
+    fov = np.deg2rad(fov_deg)
+    Rm = np.eye(3)
+    t = np.array([0.0, 0.0, -cam_z])  # world->cam translation
+    wv = graphics.world_to_view(Rm, t).T  # row-vector convention
+    proj = graphics.projection_matrix(0.01, 100.0, fov, fov).T
+    full = wv @ proj
+    campos = np.linalg.inv(wv)[3, :3]
+    return P.CameraBuffers(
+        world_view=jnp.asarray(wv, jnp.float32),
+        full_proj=jnp.asarray(full, jnp.float32),
+        campos=jnp.asarray(campos, jnp.float32),
+        tanfovx=jnp.float32(np.tan(fov / 2)),
+        tanfovy=jnp.float32(np.tan(fov / 2)),
+    )
+
+
+def random_scene(n, seed=0, spread=1.5):
+    rng = np.random.default_rng(seed)
+    means = rng.uniform(-spread, spread, size=(n, 3)).astype(np.float32)
+    scales = rng.uniform(0.05, 0.3, size=(n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    colors = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.95, size=(n,)).astype(np.float32)
+    feats = rng.normal(size=(n, 8)).astype(np.float32)
+    return means, scales, quats, colors, opac, feats
+
+
+def project(means, scales, quats, colors, opac, cam, H, W):
+    cov3d = P.compute_cov3d(jnp.asarray(scales), jnp.asarray(quats))
+    return P.project_gaussians(
+        jnp.asarray(means), cov3d, jnp.asarray(opac), cam, H, W,
+        colors_precomp=jnp.asarray(colors),
+    )
+
+
+class TestReferenceCompositor:
+    def test_background_only(self):
+        H = W = 32
+        cam = make_camera(H, W)
+        means, scales, quats, colors, opac, feats = random_scene(4)
+        # All gaussians behind the camera -> pure background.
+        proj = project(means + np.array([0, 0, -100.0], np.float32),
+                       scales, quats, colors, opac, cam, H, W)
+        bg = jnp.asarray([1.0, 0.0, 0.5])
+        out = RR.rasterize_reference(proj, None, bg, H, W)
+        np.testing.assert_allclose(
+            np.asarray(out["render"]),
+            np.broadcast_to(np.array([1.0, 0.0, 0.5])[:, None, None], (3, H, W)),
+            atol=1e-6,
+        )
+        assert not np.asarray(proj.valid).any()
+
+    def test_single_gaussian_center_color(self):
+        H = W = 33  # odd => center pixel on axis
+        cam = make_camera(H, W)
+        means = np.array([[0.0, 0.0, 0.0]], np.float32)
+        scales = np.array([[0.5, 0.5, 0.5]], np.float32)
+        quats = np.array([[1.0, 0, 0, 0]], np.float32)
+        colors = np.array([[0.2, 0.9, 0.4]], np.float32)
+        opac = np.array([0.99], np.float32)
+        proj = project(means, scales, quats, colors, opac, cam, H, W)
+        out = RR.rasterize_reference(proj, None, jnp.zeros(3), H, W)
+        img = np.asarray(out["render"])
+        center = img[:, H // 2, W // 2]
+        # alpha at center ~= min(0.99, opacity) = 0.99
+        np.testing.assert_allclose(center, 0.99 * colors[0], rtol=1e-3)
+        # depth at center ~= view z = 5
+        d = np.asarray(out["depth"])[0, H // 2, W // 2]
+        np.testing.assert_allclose(d, 0.99 * 5.0, rtol=1e-3)
+
+    def test_front_to_back_ordering(self):
+        """A nearer opaque gaussian must occlude a farther one."""
+        H = W = 17
+        cam = make_camera(H, W)
+        means = np.array([[0, 0, -1.0], [0, 0, 1.0]], np.float32)  # z=-1 nearer
+        scales = np.full((2, 3), 0.5, np.float32)
+        quats = np.tile(np.array([[1.0, 0, 0, 0]], np.float32), (2, 1))
+        colors = np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float32)
+        opac = np.array([0.95, 0.95], np.float32)
+        proj = project(means, scales, quats, colors, opac, cam, H, W)
+        out = np.asarray(
+            RR.rasterize_reference(proj, None, jnp.zeros(3), H, W)["render"]
+        )
+        center = out[:, H // 2, W // 2]
+        assert center[0] > 0.9  # red (near) dominates
+        assert center[1] < 0.1
+
+
+class TestTiledVsReference:
+    @pytest.mark.parametrize("n,H,W,seed", [(50, 48, 64, 1), (200, 40, 40, 2)])
+    def test_match(self, n, H, W, seed):
+        cam = make_camera(H, W)
+        means, scales, quats, colors, opac, feats = random_scene(n, seed)
+        proj = project(means, scales, quats, colors, opac, cam, H, W)
+        bg = jnp.asarray([0.1, 0.2, 0.3])
+        ref = RR.rasterize_reference(proj, jnp.asarray(feats), bg, H, W)
+        cfg = R.RasterConfig(pairs_per_gaussian=64, max_per_tile=n,
+                             tile_batch=4)
+        tiled = R.rasterize_tiled(proj, jnp.asarray(feats), bg, H, W, cfg)
+        assert int(tiled["overflow"]) == 0
+        np.testing.assert_allclose(
+            np.asarray(tiled["render"]), np.asarray(ref["render"]), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(tiled["feats"]), np.asarray(ref["feats"]), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(tiled["depth"]), np.asarray(ref["depth"]), atol=2e-4
+        )
+
+    def test_overflow_reported(self):
+        H = W = 32
+        cam = make_camera(H, W)
+        means, scales, quats, colors, opac, _ = random_scene(64, 3)
+        proj = project(means, scales, quats, colors, opac, cam, H, W)
+        cfg = R.RasterConfig(pairs_per_gaussian=1, max_per_tile=8, tile_batch=4)
+        tiled = R.rasterize_tiled(proj, None, jnp.zeros(3), H, W, cfg)
+        assert int(tiled["overflow"]) > 0
+
+
+class TestGradients:
+    def _loss_fn(self, H, W, cam, scales, quats, opac, target):
+        def loss(means, colors, mean2d_offset):
+            cov3d = P.compute_cov3d(jnp.asarray(scales), jnp.asarray(quats))
+            proj = P.project_gaussians(
+                means, cov3d, jnp.asarray(opac), cam, H, W,
+                colors_precomp=colors,
+            )
+            proj = proj._replace(mean2d=proj.mean2d + mean2d_offset)
+            out = RR.rasterize_reference(proj, None, jnp.zeros(3), H, W)
+            return jnp.abs(out["render"] - target).mean()
+
+        return loss
+
+    def test_grads_flow_and_match_fd(self):
+        H = W = 24
+        cam = make_camera(H, W)
+        means, scales, quats, colors, opac, _ = random_scene(12, 4)
+        target = jnp.zeros((3, H, W)) + 0.5
+        loss = self._loss_fn(H, W, cam, scales, quats, opac, target)
+        means_j = jnp.asarray(means)
+        colors_j = jnp.asarray(colors)
+        off = jnp.zeros((12, 2))
+        g_means, g_colors, g_off = jax.grad(loss, argnums=(0, 1, 2))(
+            means_j, colors_j, off
+        )
+        assert np.isfinite(np.asarray(g_means)).all()
+        assert np.abs(np.asarray(g_off)).sum() > 0  # mean2d grad flows
+        # Finite-difference check on a color entry (smooth path).
+        eps = 1e-3
+        e = jnp.zeros_like(colors_j).at[0, 1].set(eps)
+        fd = (loss(means_j, colors_j + e, off) - loss(means_j, colors_j - e, off)) / (
+            2 * eps
+        )
+        np.testing.assert_allclose(np.asarray(g_colors)[0, 1], np.asarray(fd),
+                                   rtol=5e-2, atol=1e-5)
+
+    def test_tiled_grads_match_reference(self):
+        H = W = 32
+        cam = make_camera(H, W)
+        means, scales, quats, colors, opac, _ = random_scene(30, 5)
+        target = jnp.zeros((3, H, W)) + 0.25
+        cov3d = P.compute_cov3d(jnp.asarray(scales), jnp.asarray(quats))
+
+        def loss_with(rasterizer):
+            def f(means_, colors_):
+                proj = P.project_gaussians(
+                    means_, cov3d, jnp.asarray(opac), cam, H, W,
+                    colors_precomp=colors_,
+                )
+                out = rasterizer(proj)
+                return jnp.abs(out["render"] - target).mean()
+
+            return f
+
+        ref_r = lambda proj: RR.rasterize_reference(proj, None, jnp.zeros(3), H, W)
+        cfg = R.RasterConfig(pairs_per_gaussian=64, max_per_tile=30, tile_batch=2)
+        til_r = lambda proj: R.rasterize_tiled(proj, None, jnp.zeros(3), H, W, cfg)
+
+        g_ref = jax.grad(loss_with(ref_r), argnums=(0, 1))(
+            jnp.asarray(means), jnp.asarray(colors)
+        )
+        g_til = jax.grad(loss_with(til_r), argnums=(0, 1))(
+            jnp.asarray(means), jnp.asarray(colors)
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_ref[0]), np.asarray(g_til[0]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_ref[1]), np.asarray(g_til[1]), atol=1e-5
+        )

@@ -1,0 +1,115 @@
+"""SAM mask loading/decoding.
+
+The reference stores per-image SAM masks as ``masks/<name>.pt`` holding
+either a raw (N,H,W) bool tensor or a dict
+{"masks": np.array of bitarray, "N", "H", "W"} (extract_masks.py:87-99),
+decoded per FEATURE iteration on the CPU (train.py:245-249). Here:
+
+- ``load_masks`` accepts .pt (via torch, CPU), .npz (native format:
+  packed bits + shape) and .npy;
+- decoding bit-packed masks uses np.unpackbits (vectorized C loop);
+- ``MaskStore`` pads mask stacks to a static (M_max, H, W) shape with a
+  validity vector so the FEATURE-phase train step compiles once, and
+  prefetches decode work on a background thread to keep the TPU fed.
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import NamedTuple
+
+import numpy as np
+
+
+class PaddedMasks(NamedTuple):
+    masks: np.ndarray  # (M_max, H, W) float32/bool
+    valid: np.ndarray  # (M_max,) bool
+
+
+def decode_mask_file(path: str) -> np.ndarray | None:
+    """Load one mask file -> (N, H, W) bool array."""
+    if not os.path.exists(path):
+        return None
+    if path.endswith(".npz"):
+        z = np.load(path)
+        if "packed" in z:
+            n, h, w = int(z["N"]), int(z["H"]), int(z["W"])
+            bits = np.unpackbits(z["packed"], count=n * h * w)
+            return bits.reshape(n, h, w).astype(bool)
+        return z["masks"].astype(bool)
+    if path.endswith(".npy"):
+        return np.load(path).astype(bool)
+    # torch .pt — raw tensor or bitarray dict
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if torch.is_tensor(obj):
+        return obj.numpy().astype(bool)
+    if isinstance(obj, dict):
+        n, h, w = int(obj["N"]), int(obj["H"]), int(obj["W"])
+        m = obj["masks"]
+        if torch.is_tensor(m):
+            return m.numpy().reshape(n, h, w).astype(bool)
+        # array of bitarray objects (reference format) or raw bytes
+        flat = []
+        for ba in np.asarray(m).ravel():
+            if hasattr(ba, "tobytes"):
+                packed = np.frombuffer(ba.tobytes(), dtype=np.uint8)
+                bits = np.unpackbits(packed, count=h * w)
+            else:
+                bits = np.asarray(ba, dtype=np.uint8).ravel()[: h * w]
+            flat.append(bits)
+        return np.stack(flat).reshape(n, h, w).astype(bool)
+    raise ValueError(f"Unrecognized mask container in {path}")
+
+
+def save_mask_file(path: str, masks: np.ndarray):
+    """Native .npz format: bit-packed, shape-tagged."""
+    n, h, w = masks.shape
+    packed = np.packbits(masks.astype(bool).ravel())
+    np.savez_compressed(path, packed=packed, N=n, H=h, W=w)
+
+
+def pad_masks(masks: np.ndarray, m_max: int) -> PaddedMasks:
+    n = masks.shape[0]
+    if n >= m_max:
+        return PaddedMasks(
+            masks=masks[:m_max].astype(np.float32),
+            valid=np.ones(m_max, bool),
+        )
+    pad = np.zeros((m_max - n,) + masks.shape[1:], np.float32)
+    return PaddedMasks(
+        masks=np.concatenate([masks.astype(np.float32), pad]),
+        valid=np.arange(m_max) < n,
+    )
+
+
+class MaskPrefetcher:
+    """Background-thread decoder so bit-unpacking never blocks the device
+    step (the reference decodes on the critical path, train.py:246-249)."""
+
+    def __init__(self, m_max: int, depth: int = 4):
+        self.m_max = m_max
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._jobs: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while True:
+            path = self._jobs.get()
+            if path is None:
+                return
+            masks = decode_mask_file(path)
+            padded = None if masks is None else pad_masks(masks, self.m_max)
+            self._q.put((path, padded))
+
+    def submit(self, path: str):
+        self._jobs.put(path)
+
+    def get(self) -> tuple[str, PaddedMasks | None]:
+        return self._q.get()
+
+    def close(self):
+        self._jobs.put(None)

@@ -1,0 +1,461 @@
+"""Gaussian field state: a fixed-capacity pytree with an alive-mask.
+
+TPU re-design of the reference's mutable GaussianModel
+(scene/gaussian_model.py). Dynamic point counts (densify/clone/split/
+prune, :457-635) become masked writes into a statically-shaped capacity
+buffer, so every training step compiles once; capacity growth is a rare
+host-side reallocation. Optimizer state lives in arrays of the same
+shape (see engine/optim.py) and slot reuse resets the corresponding
+rows — the moral equivalent of the reference's optimizer surgery.
+
+Dead slots are parked with opacity logit -15 (sigmoid ~ 3e-7, below the
+1/255 compositing cutoff) and tiny scales, and the renderer additionally
+zeroes their opacity, so they are exact no-ops in every compute path.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.optim import AdamState, adam_init
+from ..utils.general import inverse_sigmoid_np
+from ..utils.quaternion import build_rotation, covariance_from_scaling_rotation
+from ..utils.sh import rgb_to_sh
+
+FEATURE_DIM = 32
+DEAD_OPACITY_LOGIT = -15.0
+
+
+class GaussianParams(NamedTuple):
+    """Raw (pre-activation) learnable parameters; leading dim = capacity."""
+
+    xyz: jnp.ndarray  # (C, 3)
+    features_dc: jnp.ndarray  # (C, 1, 3) SH DC band
+    features_rest: jnp.ndarray  # (C, R, 3), R = (deg+1)^2 - 1
+    scaling: jnp.ndarray  # (C, 3) log-scales
+    rotation: jnp.ndarray  # (C, 4) unnormalized wxyz quats
+    opacity: jnp.ndarray  # (C, 1) logits
+    gaussian_features: jnp.ndarray  # (C, 32) segmentation features
+    cluster_id: jnp.ndarray  # (C, 1) float cluster ids (finetuning mode)
+
+
+class GaussianAux(NamedTuple):
+    """Non-learnable per-slot state."""
+
+    alive: jnp.ndarray  # (C,) bool
+    max_radii2d: jnp.ndarray  # (C,)
+    xyz_gradient_accum: jnp.ndarray  # (C,)
+    denom: jnp.ndarray  # (C,)
+
+
+class GaussianOptState(NamedTuple):
+    """Adam state per parameter field (both phase groups share storage;
+    phase selection happens in the trainer)."""
+
+    xyz: AdamState
+    features_dc: AdamState
+    features_rest: AdamState
+    scaling: AdamState
+    rotation: AdamState
+    opacity: AdamState
+    gaussian_features: AdamState
+
+
+# ------------------------------------------------------------ activations
+
+
+def get_scaling(p: GaussianParams) -> jnp.ndarray:
+    return jnp.exp(p.scaling)
+
+
+def get_rotation(p: GaussianParams) -> jnp.ndarray:
+    return p.rotation / (
+        jnp.linalg.norm(p.rotation, axis=-1, keepdims=True) + 1e-12
+    )
+
+
+def get_opacity(p: GaussianParams) -> jnp.ndarray:
+    return jax.nn.sigmoid(p.opacity)
+
+
+def get_features(p: GaussianParams) -> jnp.ndarray:
+    """(C, K, 3) full SH stack, DC first."""
+    return jnp.concatenate([p.features_dc, p.features_rest], axis=1)
+
+
+def get_covariance(p: GaussianParams, scaling_modifier: float = 1.0):
+    return covariance_from_scaling_rotation(
+        get_scaling(p), scaling_modifier, get_rotation(p)
+    )
+
+
+def num_alive(aux: GaussianAux) -> jnp.ndarray:
+    return aux.alive.sum()
+
+
+# ---------------------------------------------------------------- init
+
+
+def empty_params(capacity: int, sh_degree: int) -> GaussianParams:
+    r = (sh_degree + 1) ** 2 - 1
+    return GaussianParams(
+        xyz=jnp.zeros((capacity, 3)),
+        features_dc=jnp.zeros((capacity, 1, 3)),
+        features_rest=jnp.zeros((capacity, r, 3)),
+        scaling=jnp.full((capacity, 3), -10.0),
+        rotation=jnp.zeros((capacity, 4)).at[:, 0].set(1.0),
+        opacity=jnp.full((capacity, 1), DEAD_OPACITY_LOGIT),
+        gaussian_features=jnp.zeros((capacity, FEATURE_DIM)),
+        cluster_id=jnp.full((capacity, 1), -1.0),
+    )
+
+
+def empty_aux(capacity: int) -> GaussianAux:
+    return GaussianAux(
+        alive=jnp.zeros((capacity,), bool),
+        max_radii2d=jnp.zeros((capacity,)),
+        xyz_gradient_accum=jnp.zeros((capacity,)),
+        denom=jnp.zeros((capacity,)),
+    )
+
+
+def init_opt_state(p: GaussianParams) -> GaussianOptState:
+    return GaussianOptState(
+        xyz=adam_init(p.xyz),
+        features_dc=adam_init(p.features_dc),
+        features_rest=adam_init(p.features_rest),
+        scaling=adam_init(p.scaling),
+        rotation=adam_init(p.rotation),
+        opacity=adam_init(p.opacity),
+        gaussian_features=adam_init(p.gaussian_features),
+    )
+
+
+def from_point_cloud(
+    points: np.ndarray,
+    colors: np.ndarray,
+    sh_degree: int,
+    capacity: int | None = None,
+    dist2: np.ndarray | None = None,
+    seed: int = 0,
+) -> tuple[GaussianParams, GaussianAux]:
+    """Initialise from a point cloud, mirroring create_from_pcd
+    (scene/gaussian_model.py:223-251): SH DC from RGB, log-scales from
+    sqrt(mean 3-NN squared distance), identity rotations, opacity 0.1,
+    uniform-random 32-dim features mapped through the SH affine.
+    """
+    n = points.shape[0]
+    if capacity is None:
+        capacity = max(int(2 ** np.ceil(np.log2(max(n * 2, 1024)))), 1024)
+    assert capacity >= n
+    if dist2 is None:
+        from ..ops.knn import mean_dist3_sq
+
+        dist2 = np.asarray(mean_dist3_sq(jnp.asarray(points, jnp.float32)))
+    dist2 = np.clip(dist2, 1e-7, None)
+    scales = np.log(np.sqrt(dist2))[:, None].repeat(3, axis=1)
+
+    rng = np.random.default_rng(seed)
+    feats32 = np.asarray(
+        rgb_to_sh(rng.uniform(size=(n, FEATURE_DIM)).astype(np.float32))
+    )
+
+    p = empty_params(capacity, sh_degree)
+    a = empty_aux(capacity)
+    p = p._replace(
+        xyz=p.xyz.at[:n].set(jnp.asarray(points, jnp.float32)),
+        features_dc=p.features_dc.at[:n].set(
+            jnp.asarray(rgb_to_sh(np.asarray(colors, np.float32)))[:, None, :]
+        ),
+        scaling=p.scaling.at[:n].set(jnp.asarray(scales, jnp.float32)),
+        opacity=p.opacity.at[:n].set(float(inverse_sigmoid_np(0.1))),
+        gaussian_features=p.gaussian_features.at[:n].set(feats32),
+    )
+    a = a._replace(alive=a.alive.at[:n].set(True))
+    return p, a
+
+
+# ------------------------------------------------------- densification
+
+class DensifyConfig(NamedTuple):
+    grad_threshold: float = 0.0002
+    percent_dense: float = 0.01
+    min_opacity: float = 0.005
+    split_n: int = 2  # reference N=2
+
+
+def add_densification_stats(
+    aux: GaussianAux,
+    viewspace_grad: jnp.ndarray,  # (C, 2) pixel-space gradient
+    visibility: jnp.ndarray,  # (C,) bool
+    radii: jnp.ndarray,  # (C,)
+    image_height: int,
+    image_width: int,
+) -> GaussianAux:
+    """Accumulate screen-gradient norms for the clone/split criterion.
+
+    The reference accumulates the CUDA rasterizer's means2D gradient
+    (scene/gaussian_model.py:637-639), which is expressed in half-screen
+    NDC units; our pixel-space gradient is rescaled by (2/W, 2/H) to
+    preserve the reference's densify_grad_threshold semantics.
+    """
+    g = viewspace_grad * jnp.array(
+        [2.0 / image_width, 2.0 / image_height], viewspace_grad.dtype
+    )
+    norm = jnp.linalg.norm(g, axis=-1)
+    return aux._replace(
+        xyz_gradient_accum=jnp.where(
+            visibility, aux.xyz_gradient_accum + norm, aux.xyz_gradient_accum
+        ),
+        denom=jnp.where(visibility, aux.denom + 1.0, aux.denom),
+        max_radii2d=jnp.where(
+            visibility, jnp.maximum(aux.max_radii2d, radii), aux.max_radii2d
+        ),
+    )
+
+
+def _free_slot_for_rank(alive: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
+    """Map selection rank r -> index of the (r+1)-th free slot."""
+    free = ~alive
+    # order free slots first, stable by index
+    order = jnp.argsort(~free)  # free slots (True) sort first as 0
+    return order[rank]
+
+
+def _reset_rows(tree, mask):
+    """Zero rows of every array in a pytree where mask (C,) is True."""
+
+    def _z(x):
+        if x.ndim == 0:
+            return x
+        m = mask.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.where(m, jnp.zeros_like(x), x)
+
+    return jax.tree_util.tree_map(_z, tree)
+
+
+def _write_rows(tree_dst, tree_src, src_idx, dst_idx, write_mask):
+    """dst[dst_idx[i]] = src[src_idx[i]] where write_mask[i]."""
+
+    def _w(d, s):
+        if d.ndim == 0:
+            return d
+        vals = s[src_idx]
+        m = write_mask.reshape((-1,) + (1,) * (d.ndim - 1))
+        vals = jnp.where(m, vals, d[dst_idx])
+        return d.at[dst_idx].set(vals)
+
+    return jax.tree_util.tree_map(_w, tree_dst, tree_src)
+
+
+def densify_and_prune(
+    params: GaussianParams,
+    aux: GaussianAux,
+    opt: GaussianOptState,
+    cfg: DensifyConfig,
+    scene_extent: float,
+    max_screen_size: float,
+    rng: jax.Array,
+    max_new: int,
+):
+    """One densification round: clone small high-gradient gaussians, split
+    large ones (resampling positions from the gaussian itself), then prune
+    transparent/oversized ones. Static shapes: at most `max_new` clones and
+    `max_new` splits are materialized per call; excess candidates are
+    dropped and reported.
+
+    Mirrors scene/gaussian_model.py:563-635. Returns
+    (params, aux, opt, stats dict).
+    """
+    c = params.xyz.shape[0]
+    grads = aux.xyz_gradient_accum / jnp.maximum(aux.denom, 1e-12)
+    grads = jnp.where(jnp.isnan(grads), 0.0, grads)
+    scaling = get_scaling(params)
+    max_scale = scaling.max(axis=1)
+
+    high_grad = (grads >= cfg.grad_threshold) & aux.alive
+
+    # --- clone: small gaussians, copied verbatim -------------------------
+    clone_sel = high_grad & (max_scale <= cfg.percent_dense * scene_extent)
+    n_clone = clone_sel.sum()
+
+    # --- split: large gaussians -> split_n resampled children, original
+    # pruned. Child 0 reuses the parent slot; children 1.. go to free slots.
+    split_sel = high_grad & (max_scale > cfg.percent_dense * scene_extent)
+    n_split = split_sel.sum()
+
+    free_count = (~aux.alive).sum()
+
+    # Build clone writes (gather-based, static size max_new). Every entry of
+    # sel_idx gets a DISTINCT destination slot (rank = position), so invalid
+    # entries write back the old value to an untouched slot — no scatter
+    # collisions.
+    sel_idx = jnp.argsort(~clone_sel)[:max_new]  # selected first
+    ranks = jnp.arange(max_new)
+    sel_ok = clone_sel[sel_idx] & (ranks < free_count)
+    dst = _free_slot_for_rank(aux.alive, ranks)
+    new_params = _write_rows(params, params, sel_idx, dst, sel_ok)
+    new_alive = aux.alive.at[dst].set(
+        jnp.where(sel_ok, True, aux.alive[dst])
+    )
+    # reset optimizer rows + aux for newly written slots
+    written = jnp.zeros((c,), bool).at[dst].set(sel_ok)
+    new_opt = _reset_rows(opt, written)
+
+    # --- split ----------------------------------------------------------
+    # Children positions ~ N(parent_xyz, parent_scale) rotated.
+    alive2 = new_alive
+    split_idx = jnp.argsort(~split_sel)[:max_new]
+    n_free2 = (~alive2).sum()
+    split_ranks = jnp.arange(max_new)
+    split_ok = split_sel[split_idx] & (
+        (split_ranks + 1) * (cfg.split_n - 1) <= n_free2
+    )
+
+    parent = jax.tree_util.tree_map(lambda x: x[split_idx], new_params)
+    R = build_rotation(parent.rotation)
+    stds = jnp.exp(parent.scaling)
+    new_scale_raw = jnp.log(stds / (0.8 * cfg.split_n))
+
+    children_params = []
+    keys = jax.random.split(rng, cfg.split_n)
+    for ci in range(cfg.split_n):
+        samples = jax.random.normal(keys[ci], stds.shape) * stds
+        child_xyz = (
+            jnp.einsum("nij,nj->ni", R, samples) + parent.xyz
+        )
+        child = parent._replace(xyz=child_xyz, scaling=new_scale_raw)
+        children_params.append(child)
+
+    # child 0 overwrites the parent slot
+    def _overwrite(d, s):
+        if d.ndim == 0:
+            return d
+        m = split_ok.reshape((-1,) + (1,) * (d.ndim - 1))
+        vals = jnp.where(m, s, d[split_idx])
+        return d.at[split_idx].set(vals)
+
+    new_params = jax.tree_util.tree_map(_overwrite, new_params,
+                                        children_params[0])
+    split_written = jnp.zeros((c,), bool).at[split_idx].set(split_ok)
+    new_opt = _reset_rows(new_opt, split_written)
+
+    # children 1.. to free slots (distinct destination per (entry, child))
+    for ci in range(1, cfg.split_n):
+        rank = split_ranks * (cfg.split_n - 1) + (ci - 1)
+        dst_c = _free_slot_for_rank(alive2, rank)
+        new_params = _write_rows(
+            new_params, children_params[ci],
+            jnp.arange(split_idx.shape[0]), dst_c, split_ok,
+        )
+        alive2 = alive2.at[dst_c].set(jnp.where(split_ok, True, alive2[dst_c]))
+        w = jnp.zeros((c,), bool).at[dst_c].set(split_ok)
+        new_opt = _reset_rows(new_opt, w)
+        split_written = split_written | w
+
+    # --- prune ----------------------------------------------------------
+    opacity = jax.nn.sigmoid(new_params.opacity[:, 0])
+    prune = opacity < cfg.min_opacity
+    if max_screen_size is not None and max_screen_size > 0:
+        big_vs = aux.max_radii2d > max_screen_size
+        big_ws = jnp.exp(new_params.scaling).max(axis=1) > 0.1 * scene_extent
+        prune = prune | big_vs | big_ws
+    # freshly written slots keep alive regardless of stale radii stats
+    prune = prune & ~written & ~split_written
+    alive3 = alive2 & ~prune
+
+    # park dead slots so they are inert everywhere
+    dead = ~alive3
+    new_params = new_params._replace(
+        opacity=jnp.where(dead[:, None], DEAD_OPACITY_LOGIT, new_params.opacity),
+    )
+
+    new_aux = GaussianAux(
+        alive=alive3,
+        max_radii2d=jnp.zeros_like(aux.max_radii2d),
+        xyz_gradient_accum=jnp.zeros_like(aux.xyz_gradient_accum),
+        denom=jnp.zeros_like(aux.denom),
+    )
+    stats = {
+        "n_clone": jnp.minimum(n_clone, max_new),
+        "n_split": jnp.minimum(n_split, max_new),
+        "n_pruned": (prune & alive2).sum(),
+        "n_alive": alive3.sum(),
+        "dropped": jnp.maximum(n_clone - max_new, 0)
+        + jnp.maximum(n_split - max_new, 0),
+    }
+    return new_params, new_aux, new_opt, stats
+
+
+def reset_opacity(params: GaussianParams, aux: GaussianAux,
+                  opt: GaussianOptState):
+    """Clamp opacity to <= 0.01 and reset its Adam state
+    (scene/gaussian_model.py:378-381)."""
+    target = jnp.minimum(get_opacity(params), 0.01)
+    logit = jnp.log(target / (1 - target))
+    new_opacity = jnp.where(aux.alive[:, None], logit, params.opacity)
+    new_opt = opt._replace(
+        opacity=AdamState(
+            mu=jnp.zeros_like(opt.opacity.mu),
+            nu=jnp.zeros_like(opt.opacity.nu),
+            step=opt.opacity.step,
+        )
+    )
+    return params._replace(opacity=new_opacity), new_opt
+
+
+def grow_capacity(params: GaussianParams, aux: GaussianAux,
+                  opt: GaussianOptState, new_capacity: int):
+    """Host-side capacity growth (triggers one recompile of jitted steps)."""
+    c = params.xyz.shape[0]
+    assert new_capacity > c
+    pad = new_capacity - c
+
+    def _pad_like(x, fill=0.0):
+        if x.ndim == 0:
+            return x
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    new_params = GaussianParams(
+        xyz=_pad_like(params.xyz),
+        features_dc=_pad_like(params.features_dc),
+        features_rest=_pad_like(params.features_rest),
+        scaling=_pad_like(params.scaling, -10.0),
+        rotation=jnp.concatenate(
+            [params.rotation,
+             jnp.zeros((pad, 4)).at[:, 0].set(1.0)], axis=0
+        ),
+        opacity=_pad_like(params.opacity, DEAD_OPACITY_LOGIT),
+        gaussian_features=_pad_like(params.gaussian_features),
+        cluster_id=_pad_like(params.cluster_id, -1.0),
+    )
+    new_aux = GaussianAux(
+        alive=_pad_like(aux.alive, False),
+        max_radii2d=_pad_like(aux.max_radii2d),
+        xyz_gradient_accum=_pad_like(aux.xyz_gradient_accum),
+        denom=_pad_like(aux.denom),
+    )
+    new_opt = jax.tree_util.tree_map(
+        lambda x: _pad_like(x) if x.ndim > 0 else x, opt
+    )
+    return new_params, new_aux, new_opt
+
+
+def compact(params: GaussianParams, aux: GaussianAux,
+            opt: GaussianOptState):
+    """Host-side: move alive slots to the front (stable). Optional
+    maintenance to improve locality after heavy churn."""
+    order = jnp.argsort(~aux.alive, stable=True)
+
+    def _g(x):
+        return x[order] if x.ndim > 0 else x
+
+    return (
+        jax.tree_util.tree_map(_g, params),
+        jax.tree_util.tree_map(_g, aux),
+        jax.tree_util.tree_map(_g, opt),
+    )

@@ -1,0 +1,246 @@
+"""Production tile-sorted differentiable rasterizer (XLA-native).
+
+This is the TPU re-design of the reference's CUDA rasterizer
+(submodules/diff-gaussian-rasterization; behavior contract per
+SURVEY.md §2.3a). The CUDA algorithm — per-gaussian tile-range
+assignment, global (tile, depth) key sort, then a sequential per-tile
+front-to-back compositing loop with atomics in backward — maps onto
+XLA/TPU as dense, static-shape ops:
+
+1.  *Pair expansion*: each visible gaussian emits one (tile_id, depth)
+    pair per covered tile. Variable counts become static shapes via a
+    capacity buffer + searchsorted-over-cumsum gather (no scatter).
+2.  *Binning*: one `lax.sort` over (tile_id, depth) keys; per-tile
+    ranges recovered with searchsorted. This replaces CUDA's radix sort
+    + per-tile ranges kernel.
+3.  *Compositing*: per tile of 16x16 pixels, the front-to-back loop is
+    an exclusive cumulative product over the depth-sorted axis followed
+    by a (K x C)^T @ (K x P) matmul that composites RGB, the 32-dim
+    segmentation features, and depth in ONE MXU contraction. Tiles are
+    processed in rematerialized batches so backward memory stays flat.
+
+Gradients flow through everything by XLA autodiff (gathers transpose to
+scatter-adds — the moral equivalent of the CUDA backward's atomics).
+The screen-space position gradient needed by densification
+(train.py:366 in the reference) is exposed by the explicit
+`mean2d_offset` input of `render()` in trase_tpu/renderer.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import ProjectedGaussians
+from .rasterize_ref import ALPHA_EPS, ALPHA_MAX, T_EPS
+
+TILE = 16
+
+
+class RasterConfig(NamedTuple):
+    """Static rasterizer capacities (shape-defining; changing them
+    recompiles)."""
+
+    pairs_per_gaussian: int = 8  # pair buffer capacity = N * this
+    max_per_tile: int = 1024  # K: gaussians composited per tile
+    tile_batch: int = 32  # tiles composited per remat batch
+
+
+def _tile_grid(image_height: int, image_width: int):
+    tw = -(-image_width // TILE)
+    th = -(-image_height // TILE)
+    return th, tw
+
+
+def _tile_rects(proj: ProjectedGaussians, th: int, tw: int):
+    """Per-gaussian covered tile rectangle, CUDA getRect semantics."""
+    r = proj.radius
+    x, y = proj.mean2d[:, 0], proj.mean2d[:, 1]
+    tx0 = jnp.clip(jnp.floor((x - r) / TILE), 0, tw).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((y - r) / TILE), 0, th).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((x + r) / TILE) + 1, 0, tw).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((y + r) / TILE) + 1, 0, th).astype(jnp.int32)
+    w = jnp.maximum(tx1 - tx0, 0)
+    h = jnp.maximum(ty1 - ty0, 0)
+    count = jnp.where(proj.valid & (proj.radius > 0), w * h, 0)
+    return tx0, ty0, w, count
+
+
+def build_tile_lists(
+    proj: ProjectedGaussians,
+    image_height: int,
+    image_width: int,
+    cfg: RasterConfig,
+):
+    """Bin gaussians into depth-sorted per-tile lists.
+
+    Returns (sorted_gauss_idx (P,), tile_start (T+1,), num_tiles, overflow)
+    where `overflow` counts pairs dropped because the pair buffer was
+    full (monitor; grow `pairs_per_gaussian` if nonzero).
+    """
+    th, tw = _tile_grid(image_height, image_width)
+    num_tiles = th * tw
+    n = proj.mean2d.shape[0]
+    p_cap = n * cfg.pairs_per_gaussian
+
+    tx0, ty0, rect_w, count = _tile_rects(proj, th, tw)
+    cum = jnp.cumsum(count)  # inclusive
+    total = cum[-1]
+    overflow = jnp.maximum(total - p_cap, 0)
+
+    slots = jnp.arange(p_cap, dtype=jnp.int32)
+    g = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
+    g = jnp.minimum(g, n - 1)
+    local = slots - (cum[g] - count[g])
+    w_g = jnp.maximum(rect_w[g], 1)
+    dx = local % w_g
+    dy = local // w_g
+    tile_id = (ty0[g] + dy) * tw + (tx0[g] + dx)
+
+    valid_pair = slots < total
+    tile_key = jnp.where(valid_pair, tile_id, num_tiles).astype(jnp.int32)
+    depth_key = jnp.where(valid_pair, proj.depth[g], jnp.inf)
+
+    _, _, sorted_gauss = jax.lax.sort(
+        (tile_key, depth_key, g), num_keys=2
+    )
+    sorted_tile = jax.lax.sort((tile_key,), num_keys=1)[0]
+
+    tile_start = jnp.searchsorted(
+        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    return sorted_gauss, tile_start, overflow
+
+
+def _composite_tiles(
+    tile_ids,  # (TB,) int32 tile indices in this batch
+    sorted_gauss,  # (P,)
+    tile_start,  # (T+1,)
+    gdata,  # (N, C) packed per-gaussian channels [rgb|extra|depth]
+    mean2d,  # (N, 2)
+    conic,  # (N, 3)
+    opacity,  # (N,)
+    tw: int,
+    K: int,
+):
+    """Composite a batch of tiles. Returns (TB, C, TILE*TILE) channels and
+    (TB, TILE*TILE) accumulated alpha."""
+    tb = tile_ids.shape[0]
+    start = tile_start[tile_ids]  # (TB,)
+    end = tile_start[tile_ids + 1]
+    ks = jnp.arange(K, dtype=jnp.int32)
+    idx = start[:, None] + ks[None, :]  # (TB, K)
+    in_range = idx < end[:, None]
+    idx = jnp.minimum(idx, sorted_gauss.shape[0] - 1)
+    gs = sorted_gauss[idx]  # (TB, K)
+
+    # Pixel centers of this tile batch.
+    ty = tile_ids // tw
+    tx = tile_ids % tw
+    fx = jnp.arange(TILE, dtype=mean2d.dtype)
+    local_x, local_y = jnp.meshgrid(fx, fx)  # (TILE, TILE): x varies fastest
+    px = tx[:, None].astype(mean2d.dtype) * TILE + local_x.reshape(1, -1)
+    py = ty[:, None].astype(mean2d.dtype) * TILE + local_y.reshape(1, -1)
+    # px, py: (TB, 256)
+
+    m2d = mean2d[gs]  # (TB, K, 2)
+    con = conic[gs]  # (TB, K, 3)
+    dx = m2d[..., 0:1] - px[:, None, :]  # (TB, K, 256)
+    dy = m2d[..., 1:2] - py[:, None, :]
+    power = (
+        -0.5 * (con[..., 0:1] * dx * dx + con[..., 2:3] * dy * dy)
+        - con[..., 1:2] * dx * dy
+    )
+    # Clamp before exp: power > 0 contributions are discarded below, but
+    # exp(large) = inf would turn into inf * 0 = NaN in the backward pass.
+    alpha = jnp.minimum(
+        ALPHA_MAX, opacity[gs][..., None] * jnp.exp(jnp.minimum(power, 0.0))
+    )
+    alpha = jnp.where((power > 0.0) | ~in_range[..., None], 0.0, alpha)
+    alpha = jnp.where(alpha < ALPHA_EPS, 0.0, alpha)
+
+    one_minus = 1.0 - alpha
+    T = jnp.cumprod(one_minus, axis=1)
+    T = jnp.concatenate([jnp.ones_like(T[:, :1]), T[:, :-1]], axis=1)
+    done = (T * one_minus < T_EPS) & (alpha > 0.0)
+    sticky = jnp.cumsum(done.astype(jnp.int32), axis=1) > 0
+    w = jnp.where(sticky, 0.0, alpha * T)  # (TB, K, 256)
+
+    vals = gdata[gs]  # (TB, K, C)
+    out = jnp.einsum(
+        "tkp,tkc->tcp", w, vals, preferred_element_type=jnp.float32
+    )
+    acc = w.sum(axis=1)  # (TB, 256)
+    return out, acc
+
+
+def rasterize_tiled(
+    proj: ProjectedGaussians,
+    extra_channels: jnp.ndarray | None,
+    bg_color: jnp.ndarray,
+    image_height: int,
+    image_width: int,
+    cfg: RasterConfig = RasterConfig(),
+):
+    """Full-image tiled rasterization.
+
+    Returns dict: render (3,H,W), feats (F,H,W) if extra_channels given,
+    depth (1,H,W), alpha (1,H,W), overflow (scalar pair-drop count).
+    """
+    th, tw = _tile_grid(image_height, image_width)
+    num_tiles = th * tw
+    sorted_gauss, tile_start, overflow = build_tile_lists(
+        proj, image_height, image_width, cfg
+    )
+
+    opacity = jnp.where(proj.valid, proj.opacity, 0.0)
+    chans = [proj.color]
+    if extra_channels is not None:
+        chans.append(extra_channels)
+    chans.append(proj.depth[:, None])
+    gdata = jnp.concatenate(chans, axis=1)  # (N, C)
+    C = gdata.shape[1]
+
+    tb = cfg.tile_batch
+    n_batches = -(-num_tiles // tb)
+    pad_tiles = n_batches * tb
+    all_tiles = jnp.arange(pad_tiles, dtype=jnp.int32).reshape(n_batches, tb)
+    all_tiles = jnp.minimum(all_tiles, num_tiles - 1)
+
+    composite = functools.partial(
+        _composite_tiles,
+        sorted_gauss=sorted_gauss,
+        tile_start=tile_start,
+        gdata=gdata,
+        mean2d=proj.mean2d,
+        conic=proj.conic,
+        opacity=opacity,
+        tw=tw,
+        K=cfg.max_per_tile,
+    )
+    composite = jax.checkpoint(composite)
+
+    out, acc = jax.lax.map(composite, all_tiles)  # (B, TB, C, 256), (B, TB, 256)
+    out = out.reshape(pad_tiles, C, TILE, TILE)
+    acc = acc.reshape(pad_tiles, TILE, TILE)
+
+    # Assemble tiles (row-major over the tile grid) into the padded image.
+    out = out[:num_tiles].reshape(th, tw, C, TILE, TILE)
+    out = out.transpose(2, 0, 3, 1, 4).reshape(C, th * TILE, tw * TILE)
+    out = out[:, :image_height, :image_width]
+    acc = acc[:num_tiles].reshape(th, tw, TILE, TILE)
+    acc = acc.transpose(0, 2, 1, 3).reshape(th * TILE, tw * TILE)
+    acc = acc[:image_height, :image_width]
+
+    rgb = out[:3] + (1.0 - acc)[None] * bg_color[:, None, None]
+    result = {
+        "render": rgb,
+        "depth": out[-1:],
+        "alpha": acc[None],
+        "overflow": overflow,
+    }
+    if extra_channels is not None:
+        result["feats"] = out[3:-1]
+    return result
