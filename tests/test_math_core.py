@@ -121,12 +121,12 @@ def test_exp_log_se3_roundtrip():
     theta = rng.uniform(0.1, np.pi - 0.2, size=(8, 1))
     S = jnp.asarray(np.concatenate([w, v], axis=1))
     T = rigid.exp_se3(S, jnp.asarray(theta))
+    # log_se3 (reference rigid_utils.py:107-125) returns [unit_w | v] and
+    # drops theta — recover theta via log_so3, then exp must invert log.
     twist = np.asarray(rigid.log_se3(T))
-    # log returns w*1 with theta folded differently; verify exp(log(T)) == T
-    w2 = twist[:, :3]
-    th2 = np.linalg.norm(w2, axis=1, keepdims=True)
-    S2 = np.concatenate([w2 / th2, twist[:, 3:] / th2], axis=1)
-    T2 = np.asarray(rigid.exp_se3(jnp.asarray(S2), jnp.asarray(th2)))
+    _, th2 = rigid.log_so3(T[:, :3, :3])
+    th2 = np.asarray(th2).reshape(-1, 1)
+    T2 = np.asarray(rigid.exp_se3(jnp.asarray(twist), jnp.asarray(th2)))
     np.testing.assert_allclose(np.asarray(T), T2, atol=1e-3)
 
 

@@ -1,0 +1,109 @@
+"""Multi-device (8 virtual CPU devices) sharded rendering/training tests.
+
+Validates the SPMD path in trase_tpu/parallel/sharded.py: gaussian-
+parallel projection + tile-parallel compositing must reproduce the
+single-device renderer bit-for-bit (same math, same order), and the
+sharded training step must run and stay finite.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    from trase_tpu.models import gaussians as G
+
+    rng = np.random.default_rng(3)
+    n = 96
+    pts = (rng.normal(size=(n, 3)) * 0.4).astype(np.float32)
+    pts[:, 2] += 3.0
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    d2 = np.full(n, 0.01, np.float32)
+    params, aux = G.from_point_cloud(pts, cols, sh_degree=1,
+                                     capacity=1024, dist2=d2)
+    return params, aux
+
+
+def test_sharded_render_matches_single(small_scene):
+    from trase_tpu.ops.rasterize import RasterConfig
+    from trase_tpu.parallel import make_mesh, sharded_render_fn
+    from trase_tpu.renderer import make_render_camera, render
+
+    params, aux = small_scene
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8)
+
+    H = W = 48
+    cam = make_render_camera(np.eye(3), np.zeros(3), 0.8, 0.8, H, W)
+    cfg = RasterConfig(pairs_per_gaussian=4, max_per_tile=128, tile_batch=2)
+    bg = jnp.zeros(3)
+
+    single = render(cam, params, aux.alive, bg, sh_degree=1,
+                    with_features=False, raster_cfg=cfg)["render"]
+
+    fn = sharded_render_fn(mesh, H, W, sh_degree=1, raster_cfg=cfg)
+    from trase_tpu.parallel.sharded import shard_train_state
+    from trase_tpu.engine.trainer import TrainState
+    from trase_tpu.models.gaussians import init_opt_state
+
+    st = shard_train_state(mesh, TrainState(
+        params=params, aux=aux, opt=init_opt_state(params),
+        deform_vars={}, deform_opt={}))
+    multi = fn(st.params, st.aux.alive, cam.buffers, bg)
+
+    np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
+                               atol=1e-5, rtol=1e-4)
+    assert float(jnp.abs(multi).max()) > 0.01
+
+
+def test_sharded_train_step_runs(small_scene):
+    from trase_tpu.engine.trainer import (
+        LearningRates, TrainState, init_train_state,
+    )
+    from trase_tpu.models.deform import init_deform, make_deform_network
+    from trase_tpu.ops.rasterize import RasterConfig
+    from trase_tpu.parallel import make_mesh, make_sharded_gaussian_step
+    from trase_tpu.parallel.sharded import shard_train_state
+    from trase_tpu.renderer import make_render_camera
+
+    params, aux = small_scene
+    mesh = make_mesh(8)
+    H = W = 48
+
+    net = make_deform_network("DeformNetwork")
+    dvars = init_deform(jax.random.PRNGKey(0), net)
+    state = init_train_state(params, aux, dvars)
+    state = shard_train_state(mesh, state)
+
+    cam = make_render_camera(np.eye(3), np.zeros(3), 0.8, 0.8, H, W)
+    cfg = RasterConfig(pairs_per_gaussian=4, max_per_tile=128, tile_batch=2)
+    builder = make_sharded_gaussian_step(
+        mesh, net, H, W, sh_degree=1, use_deform=True, raster_cfg=cfg)
+    step = builder(state)
+
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.uniform(size=(3, H, W)).astype(np.float32))
+    lrs = LearningRates(*[jnp.float32(1e-3)] * 8)
+
+    new_state, metrics = step(
+        state, cam.buffers, gt, jnp.float32(0.5), jnp.float32(0.0),
+        lrs, jnp.zeros(3))
+    assert bool(metrics["finite"])
+    assert np.isfinite(float(metrics["loss"]))
+    # params actually moved
+    delta = np.abs(np.asarray(new_state.params.xyz)
+                   - np.asarray(state.params.xyz)).max()
+    assert delta > 0
+    # run a second step from the new state (shapes/shardings stable)
+    new2, m2 = step(new_state, cam.buffers, gt, jnp.float32(0.5),
+                    jnp.float32(0.0), lrs, jnp.zeros(3))
+    assert np.isfinite(float(m2["loss"]))
+    assert float(m2["loss"]) <= float(metrics["loss"]) * 1.5

@@ -1,0 +1,160 @@
+"""End-to-end training-loop smoke tests on the synthetic blob dataset.
+
+Covers the reference training() behavior (train.py:76-398): GAUSSIAN
+photometric phase, FEATURE contrastive phase with phase switching,
+densification, and snapshot saving — at toy sizes on the CPU backend.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class _Args:
+    """Minimal ModelParams-alike for Scene/Trainer."""
+
+    def __init__(self, source_path, model_path):
+        self.sh_degree = 1
+        self.source_path = source_path
+        self.model_path = model_path
+        self.images = "images"
+        self.resolution = -1
+        self.white_background = False
+        self.eval = True
+        self.load2gpu_on_the_fly = False
+        self.is_blender = True
+        self.is_6dof = False
+        self.load_mask_on_the_fly = False
+        self.load_image_on_the_fly = False
+        self.end_frame = -1
+        self.mask_black_bg = False
+
+
+class _Opt:
+    iterations = 40
+    warm_up = 6
+    deform_lr_max_steps = 40
+    position_lr_init = 0.00016
+    position_lr_final = 0.0000016
+    position_lr_delay_mult = 0.01
+    position_lr_max_steps = 40
+    feature_lr = 0.0025
+    opacity_lr = 0.05
+    scaling_lr = 0.005
+    rotation_lr = 0.001
+    percent_dense = 0.01
+    lambda_dssim = 0.2
+    densification_interval = 10
+    opacity_reset_interval = 1000
+    densify_from_iter = 4
+    densify_until_iter = 30
+    densify_grad_threshold = 0.0002
+    warm_up_3d_features = 16
+    iterative_opt_interval = 8
+    monitor_mem = False
+    lambda_reg_deform = 0.0
+    num_kmeans = 16
+    num_neighbors = 128
+    deform_type = "DeformNetwork"
+    num_sampled_pixels = 256
+    smooth_K = 4
+    rfn = 1.0
+    num_sampled_masks = 8
+    contrastive_mode = "soft"
+    hard_positive_th = 0.75
+    hard_negative_th = 0.5
+
+
+class _Pipe:
+    convert_SHs_python = False
+    compute_cov3D_python = False
+    debug = False
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    from trase_tpu.data.synthetic import write_synthetic_dataset
+
+    d = tmp_path_factory.mktemp("synth")
+    write_synthetic_dataset(str(d), n_train=6, n_test=2, image_size=48,
+                            n_blobs=3, pts_per_blob=32)
+    return str(d)
+
+
+def test_train_loop_two_phases(synth_dir, tmp_path):
+    from trase_tpu.data.scene import Scene
+    from trase_tpu.engine import trainer as T
+    from trase_tpu.engine.loop import Trainer
+    from trase_tpu.models import gaussians as G
+    from trase_tpu.ops.rasterize import RasterConfig
+
+    args = _Args(synth_dir, str(tmp_path / "model"))
+    scene = Scene(args, resolution_scales=(1.0,))
+    assert scene.cameras_extent > 0
+    assert len(scene.get_train_cameras()) == 6
+    assert len(scene.get_test_cameras()) == 2
+
+    cfg = RasterConfig(pairs_per_gaussian=4, max_per_tile=128, tile_batch=4)
+    tr = Trainer(args, _Opt(), _Pipe(), scene, raster_cfg=cfg,
+                 max_new_per_densify=64)
+
+    losses = []
+    phases = []
+
+    def record(t, iteration, metrics):
+        losses.append(float(metrics["loss"]))
+        phases.append(t.opt_state.state)
+
+    tr.train(first_iter=0, saving_iterations={40}, progress=False,
+             on_iteration=record)
+
+    assert len(losses) == 40
+    assert all(np.isfinite(losses))
+    # both phases ran after warm_up_3d_features
+    assert T.GAUSSIAN in phases and T.FEATURE in phases
+    # photometric loss goes down over the gaussian warm-up
+    early = np.mean(losses[:5])
+    gaussian_late = [l for l, p in zip(losses[10:16], phases[10:16])
+                     if p == T.GAUSSIAN]
+    assert gaussian_late and np.mean(gaussian_late) < early
+
+    # snapshot artifacts exist and reload
+    ply = os.path.join(args.model_path, "point_cloud", "iteration_40",
+                       "point_cloud.ply")
+    assert os.path.exists(ply)
+    from trase_tpu.models.gaussians_io import load_gaussian_ply
+
+    params, aux, n, has_cls = load_gaussian_ply(ply, sh_degree=1)
+    assert n == int(G.num_alive(tr.state.aux))
+    deform = os.path.join(args.model_path, "deform", "iteration_40",
+                          "deform.pkl")
+    assert os.path.exists(deform)
+
+
+def test_checkpoint_roundtrip(synth_dir, tmp_path):
+    from trase_tpu.data.scene import Scene
+    from trase_tpu.engine.loop import Trainer
+    from trase_tpu.ops.rasterize import RasterConfig
+
+    args = _Args(synth_dir, str(tmp_path / "model2"))
+    opt = _Opt()
+    opt.iterations = 4
+    opt.warm_up = 2
+    opt.densify_until_iter = 0
+    scene = Scene(args, resolution_scales=(1.0,))
+    cfg = RasterConfig(pairs_per_gaussian=4, max_per_tile=128, tile_batch=4)
+    tr = Trainer(args, opt, _Pipe(), scene, raster_cfg=cfg)
+    tr.train(first_iter=0, checkpoint_iterations={4}, progress=False)
+
+    ck = os.path.join(args.model_path, "chkpnt4.pkl")
+    assert os.path.exists(ck)
+
+    tr2 = Trainer(args, opt, _Pipe(), scene, raster_cfg=cfg)
+    it = tr2.load_ckpt(ck)
+    assert it == 4
+    a = np.asarray(tr.state.params.xyz)
+    b = np.asarray(tr2.state.params.xyz)
+    np.testing.assert_allclose(a, b)

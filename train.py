@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""TRASE-TPU training CLI.
+
+Mirrors the reference trainer surface (reference train.py:497-525):
+same flag groups (Model/Optimization/Pipeline), --test_iterations /
+--save_iterations / --checkpoint_iterations / --start_checkpoint /
+--load_iteration, cfg persistence under model_path. The loop itself
+lives in trase_tpu/engine/loop.py.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    from trase_tpu.config import (
+        ModelParams, OptimizationParams, PipelineParams, save_cfg,
+    )
+
+    parser = argparse.ArgumentParser(
+        description="Training script parameters")
+    ModelParams.add_to_parser(parser)
+    OptimizationParams.add_to_parser(parser)
+    PipelineParams.add_to_parser(parser)
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--debug_from", type=int, default=-1)
+    parser.add_argument("--detect_anomaly", action="store_true",
+                        default=False)
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[1_000, 7_000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[1_000, 7_000, 30_000, 60_000])
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--load_iteration", type=int, default=-1)
+    parser.add_argument("--max_per_tile", type=int, default=1024,
+                        help="rasterizer per-tile gaussian capacity")
+    parser.add_argument("--pairs_per_gaussian", type=int, default=8)
+    args = parser.parse_args(argv if argv is not None else sys.argv[1:])
+    args.save_iterations.append(args.iterations)
+
+    print("Optimizing " + args.model_path)
+
+    dataset = ModelParams.extract(args)
+    opt = OptimizationParams.extract(args)
+    pipe = PipelineParams.extract(args)
+
+    if not dataset.model_path:
+        import uuid
+
+        dataset.model_path = os.path.join("./output", str(uuid.uuid4())[:10])
+    os.makedirs(dataset.model_path, exist_ok=True)
+    args.model_path = dataset.model_path
+    save_cfg(dataset.model_path, args)
+
+    from trase_tpu.data.scene import Scene
+    from trase_tpu.engine.loop import Trainer
+    from trase_tpu.ops.rasterize import RasterConfig
+
+    load_iter = args.load_iteration if args.load_iteration != -1 else None
+    scene = Scene(dataset, load_iteration=load_iter)
+
+    raster_cfg = RasterConfig(
+        pairs_per_gaussian=args.pairs_per_gaussian,
+        max_per_tile=args.max_per_tile,
+    )
+    trainer = Trainer(dataset, opt, pipe, scene, raster_cfg=raster_cfg)
+
+    first_iter = 0
+    if args.load_iteration != -1:
+        first_iter = args.load_iteration
+    if args.start_checkpoint:
+        first_iter = trainer.load_ckpt(args.start_checkpoint)
+
+    trainer.train(
+        first_iter=first_iter,
+        testing_iterations=set(args.test_iterations),
+        saving_iterations=set(args.save_iterations),
+        checkpoint_iterations=set(args.checkpoint_iterations),
+    )
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()

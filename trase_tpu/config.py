@@ -88,7 +88,7 @@ class PipelineParams:
     compute_cov3D_python: bool = False
     debug: bool = False
 
-    _shorthand: set = frozenset()
+    _shorthand = frozenset()
 
     @classmethod
     def add_to_parser(cls, parser):
@@ -134,7 +134,7 @@ class OptimizationParams:
     hard_positive_th: float = 0.75
     hard_negative_th: float = 0.5
 
-    _shorthand: set = frozenset()
+    _shorthand = frozenset()
 
     @classmethod
     def add_to_parser(cls, parser):

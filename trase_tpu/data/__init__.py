@@ -1,2 +1,2 @@
-from . import cameras, colmap, masks, ply, readers  # noqa: F401
-from .scene import Scene  # noqa: F401
+# Import submodules directly (e.g. trase_tpu.data.scene); importing
+# Scene here would create a cycle with models.gaussians_io.

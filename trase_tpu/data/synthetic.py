@@ -1,0 +1,173 @@
+"""Synthetic scene generator (test/bench fixture).
+
+Builds a tiny multi-view "Blender"-format dataset on disk — the same
+file layout the reference's readers consume (transforms_train.json /
+transforms_test.json with per-frame `time`, points3d.ply, images/,
+masks/) — from a procedurally generated dynamic gaussian scene:
+K colored blobs orbiting the origin. Ground-truth images are rendered
+with the slow reference compositor, masks are per-blob coverage
+(stand-ins for SAM masks), so feature-field training has a consistent
+weak-supervision signal.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..utils.graphics import focal_to_fov, fov_to_focal
+
+
+def _look_at(eye: np.ndarray, target: np.ndarray, up=np.array([0., 1., 0.])):
+    """OpenCV-style W2C rotation/translation for a camera at `eye`."""
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, up)
+    right = right / np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    R_w2c = np.stack([right, down, fwd], axis=0)  # rows
+    t = -R_w2c @ eye
+    return R_w2c, t
+
+
+def make_blob_scene(n_blobs: int = 4, pts_per_blob: int = 64, seed: int = 0):
+    """Ground-truth gaussian cloud: n_blobs clusters with distinct colors.
+
+    Returns dict of numpy arrays (xyz, rgb, scale, opacity, blob_id) in
+    canonical (t=0) space plus per-blob orbit phase."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-0.8, 0.8, size=(n_blobs, 3)).astype(np.float32)
+    palette = np.array([
+        [0.9, 0.2, 0.2], [0.2, 0.8, 0.3], [0.25, 0.35, 0.95],
+        [0.9, 0.8, 0.2], [0.8, 0.3, 0.8], [0.2, 0.8, 0.8],
+    ], np.float32)
+    xyz, rgb, blob_id = [], [], []
+    for b in range(n_blobs):
+        p = centers[b] + rng.normal(0, 0.08, size=(pts_per_blob, 3))
+        xyz.append(p.astype(np.float32))
+        c = palette[b % len(palette)] * rng.uniform(
+            0.8, 1.0, size=(pts_per_blob, 1))
+        rgb.append(c.astype(np.float32))
+        blob_id.append(np.full(pts_per_blob, b, np.int32))
+    return {
+        "xyz": np.concatenate(xyz),
+        "rgb": np.concatenate(rgb),
+        "blob_id": np.concatenate(blob_id),
+        "centers": centers,
+        "scale": np.float32(0.05),
+        "opacity": np.float32(0.8),
+    }
+
+
+def deform_blobs(scene: dict, t: float) -> np.ndarray:
+    """Time-dependent positions: each blob translates on a small orbit."""
+    xyz = scene["xyz"].copy()
+    for b, c in enumerate(scene["centers"]):
+        phase = 2 * np.pi * (t + b / max(len(scene["centers"]), 1))
+        offset = 0.15 * np.array(
+            [np.cos(phase), np.sin(phase), 0.0], np.float32)
+        xyz[scene["blob_id"] == b] += offset
+    return xyz
+
+
+def render_gt(scene: dict, t: float, R, T, fovx, fovy, h, w,
+              bg=(0.0, 0.0, 0.0)):
+    """Render the GT blob cloud with the slow jnp compositor (CPU ok)."""
+    import jax.numpy as jnp
+
+    from ..ops.projection import compute_cov3d, project_gaussians
+    from ..ops.rasterize_ref import rasterize_reference
+    from ..renderer import make_render_camera
+
+    cam = make_render_camera(R.T, T, fovx, fovy, h, w)
+    xyz = jnp.asarray(deform_blobs(scene, t))
+    n = xyz.shape[0]
+    scales = jnp.full((n, 3), scene["scale"])
+    rots = jnp.zeros((n, 4)).at[:, 0].set(1.0)
+    cov3d = compute_cov3d(scales, rots)
+    opac = jnp.full((n,), scene["opacity"])
+    proj = project_gaussians(
+        xyz, cov3d, opac, cam.buffers, h, w,
+        colors_precomp=jnp.asarray(scene["rgb"]),
+    )
+    out = rasterize_reference(proj, None, jnp.asarray(bg, jnp.float32), h, w)
+    blob_onehot = jnp.asarray(
+        np.eye(scene["centers"].shape[0], dtype=np.float32)[scene["blob_id"]]
+    )
+    cov = rasterize_reference(proj, blob_onehot, jnp.asarray(bg), h, w)
+    masks = np.asarray(cov["feats"]) > 0.3  # (B, H, W)
+    return np.asarray(out["render"]), masks
+
+
+def write_synthetic_dataset(
+    path: str,
+    n_train: int = 10,
+    n_test: int = 2,
+    image_size: int = 64,
+    n_blobs: int = 3,
+    pts_per_blob: int = 48,
+    radius: float = 3.0,
+    seed: int = 0,
+):
+    """Write a complete Blender-format dataset dir; returns the scene."""
+    from PIL import Image
+
+    from .masks import save_mask_file
+    from .ply import write_point_cloud
+
+    scene = make_blob_scene(n_blobs, pts_per_blob, seed)
+    h = w = image_size
+    fov = 0.8
+    os.makedirs(os.path.join(path, "images"), exist_ok=True)
+    # the Blender reader resolves masks at <path>/<subdir>/masks/<name>
+    os.makedirs(os.path.join(path, "images", "masks"), exist_ok=True)
+
+    def write_split(split: str, n: int, offset: float):
+        frames = []
+        for i in range(n):
+            t = i / max(n - 1, 1)
+            theta = 2 * np.pi * (i / n + offset)
+            eye = radius * np.array(
+                [np.sin(theta), 0.3, np.cos(theta)], np.float64)
+            R_w2c, T = _look_at(eye, np.zeros(3))
+            img, masks = render_gt(scene, t, R_w2c, T, fov, fov, h, w)
+            # basename must end in 4 digits (the reader parses a frame
+            # index from the last 4 chars for end_frame truncation)
+            name = f"{split}_{i:04d}"
+            arr = (np.clip(img.transpose(1, 2, 0), 0, 1) * 255).astype(
+                np.uint8)
+            Image.fromarray(arr).save(
+                os.path.join(path, "images", f"{name}.png"))
+            save_mask_file(
+                os.path.join(path, "images", "masks", f"{name}.npz"),
+                masks)
+            c2w = np.eye(4)
+            c2w[:3, :3] = R_w2c.T
+            c2w[:3, 3] = -R_w2c.T @ T
+            # Blender convention: flip y/z axes (readers flip back)
+            c2w[:3, 1:3] *= -1
+            frames.append({
+                "file_path": f"images/{name}",
+                "time": t,
+                "transform_matrix": c2w.tolist(),
+            })
+        payload = {
+            "camera_angle_x": fov,
+            "frames": frames,
+        }
+        with open(os.path.join(path, f"transforms_{split}.json"),
+                  "w") as f:
+            json.dump(payload, f, indent=1)
+
+    write_split("train", n_train, 0.0)
+    write_split("test", n_test, 0.031)
+
+    # init point cloud: GT positions + noise (so training has work to do)
+    rng = np.random.default_rng(seed + 1)
+    pts = scene["xyz"] + rng.normal(0, 0.05, scene["xyz"].shape)
+    cols = np.clip(
+        scene["rgb"] + rng.normal(0, 0.1, scene["rgb"].shape), 0, 1)
+    write_point_cloud(os.path.join(path, "points3d.ply"),
+                      pts.astype(np.float32), cols * 255.0)
+    return scene

@@ -1,0 +1,488 @@
+"""Host-side training orchestrator: the reference `training()` loop
+(train.py:76-398) over the jitted phase steps in engine/trainer.py.
+
+Differences forced by the TPU execution model, all semantics-preserving:
+- cameras/gt images/masks are uploaded once and cached as device arrays
+  keyed by camera uid (the reference moves tensors per iteration);
+- SAM mask stacks are padded to one static (M_max, H, W) shape per
+  dataset so the FEATURE step compiles once;
+- the feature-smoothing KNN map is recomputed only when xyz can have
+  changed (phase switch into FEATURE, densify) — exact, since xyz is
+  frozen during a FEATURE block;
+- densify/prune is a jitted masked-write op with static `max_new`;
+  capacity growth is a rare host-side reallocation + recompile.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import gaussians as G
+from ..models.deform import init_deform, make_deform_network
+from ..models.gaussians_io import load_checkpoint, save_checkpoint
+from ..ops.knn import build_feature_smooth_map
+from ..ops.rasterize import RasterConfig
+from ..renderer import render
+from ..utils.image import psnr
+from . import trainer as T
+
+
+class TensorBoardLogger:
+    """Optional TB logging via torch.utils.tensorboard (train.py:43-48)."""
+
+    def __init__(self, model_path: str):
+        self.writer = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.writer = SummaryWriter(model_path)
+        except ImportError:
+            print("Tensorboard not available: not logging progress")
+
+    def scalar(self, tag, value, step):
+        if self.writer is not None:
+            self.writer.add_scalar(tag, float(value), step)
+
+    def images(self, tag, image, step):
+        if self.writer is not None:
+            self.writer.add_images(tag, np.asarray(image), step)
+
+
+class Trainer:
+    def __init__(self, dataset_args, opt_args, pipe_args, scene,
+                 raster_cfg: Optional[RasterConfig] = None,
+                 max_new_per_densify: int = 8192,
+                 seed: int = 0):
+        self.args = dataset_args
+        self.opt = opt_args
+        self.pipe = pipe_args
+        self.scene = scene
+        self.raster_cfg = raster_cfg or RasterConfig()
+        self.max_new = max_new_per_densify
+
+        self.deform_net = make_deform_network(
+            getattr(opt_args, "deform_type", "DeformNetwork"),
+            is_blender=dataset_args.is_blender,
+            is_6dof=dataset_args.is_6dof,
+        )
+        rng = jax.random.PRNGKey(seed)
+        self.np_rng = np.random.default_rng(seed)
+        rng, init_rng = jax.random.split(rng)
+        deform_vars = init_deform(init_rng, self.deform_net)
+        self.rng = rng
+
+        self.state = T.init_train_state(
+            scene.gaussian_params, scene.gaussian_aux, deform_vars
+        )
+        self.lr_at = T.make_learning_rate_schedules(
+            opt_args, scene.spatial_lr_scale
+        )
+        self.opt_state = T.OptState(opt_args.iterative_opt_interval)
+
+        bg = [1.0, 1.0, 1.0] if dataset_args.white_background else [0, 0, 0]
+        self.bg_color = jnp.asarray(bg, jnp.float32)
+
+        self.active_sh_degree = 0
+        self.max_sh_degree = dataset_args.sh_degree
+
+        cams = scene.get_train_cameras()
+        self.num_frames = len(cams)
+        self.ast_noise_fn = T.make_ast_noise_fn(
+            self.num_frames, dataset_args.is_blender
+        )
+
+        # device-side caches
+        self._gt_cache: dict = {}
+        self._mask_cache: dict = {}
+        self._mask_hw: Optional[tuple] = None
+        self._m_max: Optional[int] = None
+        self._smooth_map = None
+        self._smooth_dirty = True
+
+        self.ema_loss = 0.0
+        self.ema_pos = 0.0
+        self.ema_neg = 0.0
+        self.best_psnr = 0.0
+        self.best_iteration = 0
+        self.tb = TensorBoardLogger(dataset_args.model_path) \
+            if dataset_args.model_path else None
+
+    # ------------------------------------------------------------ caches
+
+    def _gt_image(self, cam) -> jnp.ndarray:
+        if cam.uid not in self._gt_cache:
+            img = cam.image
+            if img is None:
+                from PIL import Image as PILImage
+
+                with PILImage.open(cam.image_path) as im:
+                    data = np.asarray(im.convert("RGBA"), np.float32) / 255.0
+                bgn = np.asarray(self.bg_color)
+                arr = data[..., :3] * data[..., 3:4] + bgn * (
+                    1 - data[..., 3:4])
+                img = np.clip(arr.transpose(2, 0, 1), 0, 1).astype(np.float32)
+            self._gt_cache[cam.uid] = jnp.asarray(img)
+        return self._gt_cache[cam.uid]
+
+    def _prepare_mask_meta(self, cams):
+        """One static (M_max, H, W) shape across the dataset."""
+        from ..data.masks import decode_mask_file
+
+        m_max, hw = 0, None
+        decoded = {}
+        for cam in cams:
+            masks = cam.masks
+            if masks is None and cam.mask_path:
+                masks = decode_mask_file(cam.mask_path)
+                decoded[cam.uid] = masks
+            if masks is not None:
+                m_max = max(m_max, masks.shape[0])
+                hw = masks.shape[1:]
+        self._m_max = max(m_max, 1)
+        self._mask_hw = hw
+        self._decoded_masks = decoded
+
+    def _masks_for(self, cam):
+        if cam.uid in self._mask_cache:
+            return self._mask_cache[cam.uid]
+        masks = cam.masks
+        if masks is None:
+            masks = getattr(self, "_decoded_masks", {}).get(cam.uid)
+        if masks is None and cam.mask_path:
+            from ..data.masks import decode_mask_file
+
+            masks = decode_mask_file(cam.mask_path)
+        if masks is None:
+            return None
+        n = masks.shape[0]
+        m = self._m_max
+        padded = np.zeros((m,) + masks.shape[1:], np.float32)
+        padded[: min(n, m)] = masks[:m]
+        valid = np.arange(m) < n
+        entry = (jnp.asarray(padded), jnp.asarray(valid))
+        self._mask_cache[cam.uid] = entry
+        return entry
+
+    def _get_smooth_map(self):
+        if self._smooth_dirty or self._smooth_map is None:
+            k = max(int(self.opt.smooth_K), 1)
+            self._smooth_map = jax.jit(
+                build_feature_smooth_map, static_argnames=("k",)
+            )(self.state.params.xyz, k=k)
+            self._smooth_dirty = False
+        return self._smooth_map
+
+    # ------------------------------------------------------------- steps
+
+    def _gaussian_step(self, cam, iteration):
+        use_deform = iteration >= self.opt.warm_up
+        ast = self.ast_noise_fn(self.np_rng, iteration)
+        rc = cam.to_render_camera()
+        new_state, metrics = T.gaussian_phase_step(
+            self.state, rc.buffers, self._gt_image(cam),
+            jnp.float32(cam.fid), jnp.float32(ast),
+            self.lr_at(iteration), self.bg_color,
+            deform_net=self.deform_net,
+            image_height=rc.image_height, image_width=rc.image_width,
+            sh_degree=self.active_sh_degree,
+            use_deform=use_deform, is_6dof=self.args.is_6dof,
+            lambda_dssim=self.opt.lambda_dssim,
+            lambda_reg_deform=self.opt.lambda_reg_deform,
+            raster_cfg=self.raster_cfg,
+        )
+        self.state = new_state
+        return metrics
+
+    def _feature_step(self, cam, iteration):
+        entry = self._masks_for(cam)
+        if entry is None:
+            return None  # no masks for this camera -> skip (reference
+            # assumes masks exist for all train views)
+        masks, valid = entry
+        self.rng, step_rng = jax.random.split(self.rng)
+        use_deform = iteration >= self.opt.warm_up
+        use_smoothing = self.opt.smooth_K != 1
+        rc = cam.to_render_camera()
+        new_state, metrics = T.feature_phase_step(
+            self.state, rc.buffers, masks, valid,
+            jnp.float32(cam.fid), step_rng,
+            self.lr_at(iteration), self.bg_color,
+            self._get_smooth_map() if use_smoothing else
+            jnp.zeros((self.state.params.xyz.shape[0], 1), jnp.int32),
+            deform_net=self.deform_net,
+            image_height=rc.image_height, image_width=rc.image_width,
+            sh_degree=self.active_sh_degree,
+            use_deform=use_deform, is_6dof=self.args.is_6dof,
+            contrastive_mode=self.opt.contrastive_mode,
+            rfn=self.opt.rfn,
+            positive_th=self.opt.hard_positive_th,
+            negative_th=self.opt.hard_negative_th,
+            num_sampled_pixels=self.opt.num_sampled_pixels,
+            num_sampled_masks=self.opt.num_sampled_masks,
+            use_smoothing=use_smoothing,
+            smooth_dropout=0.5,
+            mask_hw=self._mask_hw,
+            raster_cfg=self.raster_cfg,
+        )
+        self.state = new_state
+        return metrics
+
+    def _densify(self, iteration):
+        size_threshold = (20.0 if iteration > self.opt.opacity_reset_interval
+                          else 0.0)
+        self.rng, d_rng = jax.random.split(self.rng)
+        cfg = G.DensifyConfig(
+            grad_threshold=self.opt.densify_grad_threshold,
+            percent_dense=self.opt.percent_dense,
+            min_opacity=0.005,
+        )
+        # grow capacity when the buffer is nearly full
+        n_alive = int(G.num_alive(self.state.aux))
+        capacity = self.state.params.xyz.shape[0]
+        if n_alive + self.max_new + self.max_new > capacity:
+            p, a, o = G.grow_capacity(
+                self.state.params, self.state.aux, self.state.opt,
+                capacity * 2)
+            self.state = self.state._replace(params=p, aux=a, opt=o)
+            print(f"[densify] capacity {capacity} -> {capacity * 2}")
+        new_state, stats = T.densify_step(
+            self.state, d_rng,
+            jnp.float32(self.scene.cameras_extent),
+            jnp.float32(size_threshold),
+            cfg=cfg, max_new=self.max_new,
+        )
+        self.state = new_state
+        self._smooth_dirty = True
+        return stats
+
+    # ------------------------------------------------------------- train
+
+    def train(self, first_iter: int = 0, testing_iterations=(),
+              saving_iterations=(), checkpoint_iterations=(),
+              progress=True, on_iteration=None):
+        opt = self.opt
+        viewpoint_stack = []
+        iter_bar = None
+        if progress:
+            try:
+                from tqdm import tqdm
+
+                iter_bar = tqdm(range(first_iter, opt.iterations),
+                                desc="Training progress")
+            except ImportError:
+                pass
+
+        if first_iter >= opt.iterative_opt_interval and \
+                first_iter >= opt.warm_up_3d_features:
+            self.opt_state.state = T.FEATURE
+
+        train_cams = self.scene.get_train_cameras()
+        has_masks = any(c.masks is not None or c.mask_path
+                        for c in train_cams)
+        if has_masks:
+            self._prepare_mask_meta(train_cams)
+
+        t_start = time.time()
+        for iteration in range(first_iter + 1, opt.iterations + 1):
+            it_t0 = time.time()
+            if iteration % 1000 == 0 and \
+                    self.active_sh_degree < self.max_sh_degree:
+                self.active_sh_degree += 1
+
+            if iteration >= opt.warm_up_3d_features and has_masks:
+                if self.opt_state.switch():
+                    viewpoint_stack = list(train_cams)
+                    if self.opt_state.state == T.FEATURE:
+                        self._smooth_dirty = True
+
+            if not viewpoint_stack:
+                viewpoint_stack = list(train_cams)
+            cam = viewpoint_stack.pop(
+                int(self.np_rng.integers(0, len(viewpoint_stack)))
+            )
+
+            if self.opt_state.state == T.GAUSSIAN or not has_masks:
+                metrics = self._gaussian_step(cam, iteration)
+            else:
+                metrics = self._feature_step(cam, iteration)
+                if metrics is None:
+                    metrics = self._gaussian_step(cam, iteration)
+
+            loss = float(metrics["loss"])
+            finite = bool(metrics["finite"])
+            if not finite:
+                print("NaN loss detected!!!")
+            else:
+                self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+                self.opt_state.step()
+            if "pos_sim" in metrics:
+                self.ema_pos = 0.4 * float(metrics["pos_sim"]) + \
+                    0.6 * self.ema_pos
+                self.ema_neg = 0.4 * float(metrics["neg_sim"]) + \
+                    0.6 * self.ema_neg
+
+            if self.tb:
+                if "l1" in metrics:
+                    self.tb.scalar("train_loss_patches/l1_loss",
+                                   float(metrics["l1"]), iteration)
+                self.tb.scalar("train_loss_patches/total_loss", loss,
+                               iteration)
+                self.tb.scalar("iter_time",
+                               (time.time() - it_t0) * 1000.0, iteration)
+
+            if iter_bar and iteration % 10 == 0:
+                show = {"Loss": f"{self.ema_loss:.3f}",
+                        "State": self.opt_state.state,
+                        "Points": int(G.num_alive(self.state.aux))}
+                if self.opt_state.state == T.FEATURE:
+                    show["RFN"] = f"{float(metrics.get('rfn', 0)):.3f}"
+                    show["Pos sim."] = f"{self.ema_pos:.3f}"
+                    show["Neg sim."] = f"{self.ema_neg:.3f}"
+                iter_bar.set_postfix(show)
+                iter_bar.update(10)
+
+            if iteration in testing_iterations:
+                cur = self.evaluate(iteration)
+                if cur > self.best_psnr:
+                    self.best_psnr = cur
+                    self.best_iteration = iteration
+
+            if iteration in saving_iterations:
+                self.save_snapshot(iteration)
+
+            # densification (train.py:361-373)
+            if iteration < opt.densify_until_iter:
+                if iteration > opt.densify_from_iter and \
+                        iteration % opt.densification_interval == 0:
+                    self._densify(iteration)
+                if iteration % opt.opacity_reset_interval == 0 or (
+                        self.args.white_background
+                        and iteration == opt.densify_from_iter):
+                    self.state = T.reset_opacity_step(self.state)
+
+            if iteration in checkpoint_iterations:
+                self.save_ckpt(iteration)
+
+            if on_iteration is not None:
+                on_iteration(self, iteration, metrics)
+
+        if iter_bar:
+            iter_bar.close()
+        dt = time.time() - t_start
+        n_iters = opt.iterations - first_iter
+        print(f"Best PSNR = {self.best_psnr} in Iteration "
+              f"{self.best_iteration}")
+        if n_iters > 0:
+            print(f"[timing] {n_iters} iters in {dt:.1f}s = "
+                  f"{n_iters / dt:.2f} it/s")
+
+    # ------------------------------------------------------------- eval
+
+    def evaluate(self, iteration: int) -> float:
+        """Fixed-index train/test PSNR report (train.py:421-495)."""
+        test_psnr = 0.0
+        test_cams = self.scene.get_test_cameras()
+        train_cams = self.scene.get_train_cameras()
+        configs = (
+            ("test", [test_cams[i % len(test_cams)]
+                      for i in range(5, 30, 5)] if test_cams else []),
+            ("train", [train_cams[i % len(train_cams)]
+                       for i in range(5, 30, 5)] if train_cams else []),
+        )
+        for name, cams in configs:
+            if not cams:
+                continue
+            psnrs, l1s = [], []
+            for cam in cams:
+                img = self.render_view(cam)
+                gt = self._gt_image(cam)
+                img = jnp.clip(img, 0.0, 1.0)
+                gt = jnp.clip(gt, 0.0, 1.0)
+                psnrs.append(float(psnr(img[None], gt[None]).mean()))
+                l1s.append(float(jnp.abs(img - gt).mean()))
+            mean_psnr = float(np.mean(psnrs))
+            print(f"\n[ITER {iteration}] Evaluating {name}: "
+                  f"L1 {np.mean(l1s):.6f} PSNR {mean_psnr:.3f}")
+            if self.tb:
+                self.tb.scalar(f"{name}/loss_viewpoint - l1_loss",
+                               float(np.mean(l1s)), iteration)
+                self.tb.scalar(f"{name}/loss_viewpoint - psnr",
+                               mean_psnr, iteration)
+            if name == "test":
+                test_psnr = mean_psnr
+        if self.tb:
+            self.tb.scalar("total_points",
+                           int(G.num_alive(self.state.aux)), iteration)
+        return test_psnr
+
+    def render_view(self, cam, d_zero: bool = False):
+        rc = cam.to_render_camera()
+        fid = jnp.float32(cam.fid)
+        state = self.state
+
+        @jax.jit
+        def _r(params, alive, deform_vars):
+            if d_zero:
+                d = (0.0, 0.0, 0.0)
+            else:
+                d = T._apply_deform(
+                    self.deform_net, deform_vars, params.xyz, fid, 0.0,
+                    True, stop_grad_deform=True)
+            return render(rc, params, alive, self.bg_color, *d,
+                          is_6dof=self.args.is_6dof,
+                          sh_degree=self.active_sh_degree,
+                          with_features=False,
+                          raster_cfg=self.raster_cfg)["render"]
+
+        return _r(state.params, state.aux.alive, state.deform_vars)
+
+    # ------------------------------------------------------------- save
+
+    def save_snapshot(self, iteration: int):
+        print(f"\n[ITER {iteration}] Saving Gaussians")
+        smoothed = None
+        if self.opt.smooth_K != 1:
+            from ..ops.knn import smooth_features
+
+            smoothed = np.asarray(smooth_features(
+                self.state.params.gaussian_features,
+                self._get_smooth_map(), rng=None))
+        self.scene.save(iteration, self.state.params,
+                        self.state.aux.alive, smoothed_features=smoothed)
+        deform_dir = os.path.join(self.args.model_path, "deform",
+                                  f"iteration_{iteration}")
+        save_checkpoint(os.path.join(deform_dir, "deform.pkl"),
+                        {"vars": self.state.deform_vars,
+                         "type": getattr(self.opt, "deform_type",
+                                         "DeformNetwork")})
+
+    def save_ckpt(self, iteration: int):
+        print(f"\n[ITER {iteration}] Saving Checkpoint")
+        save_checkpoint(
+            os.path.join(self.args.model_path, f"chkpnt{iteration}.pkl"),
+            {
+                "state": self.state,
+                "iteration": iteration,
+                "active_sh_degree": self.active_sh_degree,
+                "opt_state": (self.opt_state.state,
+                              self.opt_state.iterations),
+            },
+        )
+
+    def load_ckpt(self, path: str):
+        payload = load_checkpoint(path)
+        tmpl = self.state
+        flat_np, _ = jax.tree_util.tree_flatten(payload["state"])
+        flat_t, treedef = jax.tree_util.tree_flatten(tmpl)
+        assert len(flat_np) == len(flat_t), "checkpoint structure mismatch"
+        self.state = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(x) for x in flat_np])
+        self.active_sh_degree = payload["active_sh_degree"]
+        self.opt_state.state, self.opt_state.iterations = \
+            payload["opt_state"]
+        return payload["iteration"]

@@ -1,0 +1,517 @@
+"""Two-phase training engine (GAUSSIAN / FEATURE), fully jitted steps.
+
+Behavioral contract: train.py in the reference —
+- OPT_STATE machine (train.py:51-73): starts GAUSSIAN; before
+  `warm_up_3d_features` iterations nothing switches; afterwards the
+  phase toggles every `iterative_opt_interval` non-NaN steps.
+- GAUSSIAN phase (train.py:209-243): render RGB, loss =
+  (1-λ)L1 + λ(1-SSIM) (+ λ_reg |d_xyz| after deform warm-up); updates
+  xyz/f_dc/f_rest/opacity/scaling/rotation AND the deform MLP.
+- FEATURE phase (train.py:244-296): sample pixels/masks from SAM
+  masks, render 32-dim features, bilinear-resize to mask resolution,
+  contrastive pos/neg pixel-pair losses + rfn·(1-‖F‖)²; updates only
+  `gaussian_features`.
+- Densification stats accumulate in BOTH phases from the screen-space
+  position gradient (train.py:361-373); densify/prune every
+  `densification_interval` in [densify_from_iter, densify_until_iter),
+  opacity reset every `opacity_reset_interval`.
+- AST time jitter: scalar gaussian noise * (1/num_frames) *
+  linear-decay(iteration) added to the deform time input, not for
+  blender scenes (train.py:198).
+- Deform is active from iteration >= warm_up; its Adam steps only in
+  GAUSSIAN phase; LR schedules per gaussian_model.py:290-301 and
+  deform_model.py:45-48.
+
+TPU design: phase = two separately-jitted pure step functions over the
+fixed-capacity state; the NaN guard is a `where` on the whole update
+tree; feature smoothing uses a cached KNN map, recomputed only when
+xyz can have changed (phase switch into FEATURE / densify) — exact,
+since xyz is frozen during a FEATURE block.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..losses.contrastive import (
+    features_correspondence_matrix,
+    negative_pixel_pair_loss,
+    pixel_mask_correspondence_matrix,
+    pixel_weights,
+    positive_pixel_pair_loss,
+    sample_pixels_and_masks,
+)
+from ..losses.image_losses import l1_loss
+from ..models import gaussians as G
+from ..models.deform import DeformNetwork, deform_step
+from ..ops import rasterize as RT
+from ..ops.ssim import ssim
+from ..ops.projection import CameraBuffers
+from ..renderer import RenderCamera, render
+from ..utils.schedules import expon_lr_func, linear_noise_func
+from .optim import AdamState, adam_init, adam_update, adam_update_tree
+
+GAUSSIAN = "GAUSSIAN"
+FEATURE = "FEATURE"
+
+
+class OptState:
+    """The reference's OPT_STATE machine (train.py:51-73)."""
+
+    def __init__(self, max_iterations: int):
+        self.state = GAUSSIAN
+        self.iterations = 0
+        self.max_iterations = max_iterations
+
+    def step(self):
+        self.iterations += 1
+
+    def switch(self) -> bool:
+        if self.iterations > self.max_iterations:
+            self.state = FEATURE if self.state == GAUSSIAN else GAUSSIAN
+            self.iterations = 0
+            return True
+        return False
+
+
+class TrainState(NamedTuple):
+    params: G.GaussianParams
+    aux: G.GaussianAux
+    opt: G.GaussianOptState
+    deform_vars: Any
+    deform_opt: Any  # pytree of AdamState
+
+
+class LearningRates(NamedTuple):
+    """Per-field LRs, host-scheduled, passed as scalars (no recompiles)."""
+
+    xyz: jnp.ndarray
+    features_dc: jnp.ndarray
+    features_rest: jnp.ndarray
+    opacity: jnp.ndarray
+    scaling: jnp.ndarray
+    rotation: jnp.ndarray
+    gaussian_features: jnp.ndarray
+    deform: jnp.ndarray
+
+
+def make_learning_rate_schedules(opt_args, spatial_lr_scale: float = 5.0):
+    """xyz + deform exponential schedules (gaussian_model.py:290-293,
+    deform_model.py:45-48)."""
+    xyz_sched = expon_lr_func(
+        lr_init=opt_args.position_lr_init * spatial_lr_scale,
+        lr_final=opt_args.position_lr_final * spatial_lr_scale,
+        lr_delay_mult=opt_args.position_lr_delay_mult,
+        max_steps=opt_args.position_lr_max_steps,
+    )
+    deform_sched = expon_lr_func(
+        lr_init=opt_args.position_lr_init * spatial_lr_scale,
+        lr_final=opt_args.position_lr_final,
+        lr_delay_mult=opt_args.position_lr_delay_mult,
+        max_steps=opt_args.deform_lr_max_steps,
+    )
+
+    def at(iteration: int) -> LearningRates:
+        return LearningRates(
+            xyz=jnp.float32(xyz_sched(iteration)),
+            features_dc=jnp.float32(opt_args.feature_lr),
+            features_rest=jnp.float32(opt_args.feature_lr / 20.0),
+            opacity=jnp.float32(opt_args.opacity_lr),
+            scaling=jnp.float32(opt_args.scaling_lr),
+            rotation=jnp.float32(opt_args.rotation_lr),
+            gaussian_features=jnp.float32(opt_args.feature_lr),
+            deform=jnp.float32(deform_sched(iteration)),
+        )
+
+    return at
+
+
+def _where_tree(cond, new_tree, old_tree):
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(cond, n, o), new_tree, old_tree
+    )
+
+
+def _apply_deform(deform_net, deform_vars, xyz, fid, ast_noise, use_deform,
+                  stop_grad_deform):
+    """d_xyz/d_rot/d_scale for the step; use_deform/stop_grad are static."""
+    if not use_deform:
+        return 0.0, 0.0, 0.0
+    n = xyz.shape[0]
+    t = jnp.full((n, 1), 0.0) + fid + ast_noise
+    vars_ = (jax.lax.stop_gradient(deform_vars) if stop_grad_deform
+             else deform_vars)
+    return deform_step(deform_net, vars_, jax.lax.stop_gradient(xyz), t)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "deform_net", "image_height", "image_width", "sh_degree",
+        "use_deform", "is_6dof", "lambda_dssim", "lambda_reg_deform",
+        "raster_cfg",
+    ),
+)
+def gaussian_phase_step(
+    state: TrainState,
+    cam_buffers: CameraBuffers,
+    gt_image: jnp.ndarray,  # (3, H, W)
+    fid: jnp.ndarray,  # scalar
+    ast_noise: jnp.ndarray,  # scalar
+    lrs: LearningRates,
+    bg_color: jnp.ndarray,
+    *,
+    deform_net: DeformNetwork,
+    image_height: int,
+    image_width: int,
+    sh_degree: int,
+    use_deform: bool,
+    is_6dof: bool,
+    lambda_dssim: float,
+    lambda_reg_deform: float,
+    raster_cfg: RT.RasterConfig,
+):
+    """One GAUSSIAN-phase step: photometric loss, grads, Adam on the
+    gaussian group + deform MLP, densification-stat accumulation."""
+    camera = RenderCamera(cam_buffers, image_height, image_width)
+    p, aux = state.params, state.aux
+    capacity = p.xyz.shape[0]
+    off = jnp.zeros((capacity, 2))
+
+    def loss_fn(params, deform_vars, off):
+        d_xyz, d_rot, d_scale = _apply_deform(
+            deform_net, deform_vars, params.xyz, fid, ast_noise,
+            use_deform, stop_grad_deform=False,
+        )
+        out = render(
+            camera, params, aux.alive, bg_color,
+            d_xyz, d_rot, d_scale, is_6dof=is_6dof, sh_degree=sh_degree,
+            mean2d_offset=off, with_features=False, raster_cfg=raster_cfg,
+        )
+        image = out["render"]
+        ll1 = l1_loss(image, gt_image)
+        loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (
+            1.0 - ssim(image, gt_image)
+        )
+        if use_deform and lambda_reg_deform > 0:
+            loss = loss + lambda_reg_deform * jnp.abs(d_xyz).mean()
+        return loss, (ll1, out["radii"], out["visibility_filter"],
+                      out["overflow"])
+
+    (loss, (ll1, radii, visibility, overflow)), grads = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2), has_aux=True
+    )(p, state.deform_vars, off)
+    gp, gdeform, goff = grads
+
+    finite = jnp.isfinite(loss)
+    alive = aux.alive
+
+    new_fields = {}
+    new_opt_fields = {}
+    for name, lr in (
+        ("xyz", lrs.xyz),
+        ("features_dc", lrs.features_dc),
+        ("features_rest", lrs.features_rest),
+        ("opacity", lrs.opacity),
+        ("scaling", lrs.scaling),
+        ("rotation", lrs.rotation),
+    ):
+        np_, ns_ = adam_update(
+            getattr(p, name), getattr(gp, name), getattr(state.opt, name),
+            lr, row_mask=alive,
+        )
+        new_fields[name] = np_
+        new_opt_fields[name] = ns_
+    new_params = p._replace(**new_fields)
+    new_opt = state.opt._replace(**new_opt_fields)
+
+    if use_deform:
+        new_deform, new_deform_opt = adam_update_tree(
+            state.deform_vars, gdeform, state.deform_opt, lrs.deform
+        )
+    else:
+        new_deform, new_deform_opt = state.deform_vars, state.deform_opt
+
+    # densification stats from the screen-space gradient
+    new_aux = G.add_densification_stats(
+        aux, goff, visibility & alive, radii,
+        camera.image_height, camera.image_width,
+    )
+
+    new_state = TrainState(
+        params=_where_tree(finite, new_params, p),
+        aux=_where_tree(finite, new_aux, aux),
+        opt=_where_tree(finite, new_opt, state.opt),
+        deform_vars=_where_tree(finite, new_deform, state.deform_vars),
+        deform_opt=_where_tree(finite, new_deform_opt, state.deform_opt),
+    )
+    metrics = {"loss": loss, "l1": ll1, "finite": finite,
+               "overflow": overflow}
+    return new_state, metrics
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "deform_net", "image_height", "image_width", "sh_degree",
+        "use_deform", "is_6dof", "contrastive_mode", "rfn",
+        "positive_th", "negative_th",
+        "num_sampled_pixels", "num_sampled_masks", "use_smoothing",
+        "smooth_dropout", "mask_hw", "raster_cfg", "use_pixel_weights",
+    ),
+)
+def feature_phase_step(
+    state: TrainState,
+    cam_buffers: CameraBuffers,
+    sam_masks: jnp.ndarray,  # (M, Hm, Wm) float32, zero-padded
+    mask_valid: jnp.ndarray,  # (M,) bool
+    fid: jnp.ndarray,
+    rng: jax.Array,
+    lrs: LearningRates,
+    bg_color: jnp.ndarray,
+    smooth_map: jnp.ndarray,  # (C, K) int32 neighbor map
+    *,
+    deform_net: DeformNetwork,
+    image_height: int,
+    image_width: int,
+    sh_degree: int,
+    use_deform: bool,
+    is_6dof: bool,
+    contrastive_mode: str,
+    rfn: float,
+    positive_th: float,
+    negative_th: float,
+    num_sampled_pixels: int,
+    num_sampled_masks: int,
+    use_smoothing: bool,
+    smooth_dropout: float,
+    mask_hw: tuple,
+    raster_cfg: RT.RasterConfig,
+    use_pixel_weights: bool = True,
+):
+    """One FEATURE-phase step: contrastive losses on rendered features;
+    updates only `gaussian_features` (train.py:244-296)."""
+    camera = RenderCamera(cam_buffers, image_height, image_width)
+    p, aux = state.params, state.aux
+    capacity = p.xyz.shape[0]
+    off = jnp.zeros((capacity, 2))
+    rng_sample, rng_smooth = jax.random.split(rng)
+
+    sample = sample_pixels_and_masks(
+        rng_sample, sam_masks, mask_valid,
+        num_sampled_pixels, num_sampled_masks,
+    )
+    C = pixel_mask_correspondence_matrix(sam_masks, sample)
+    weights = pixel_weights(sam_masks, sample) if use_pixel_weights else None
+
+    d_xyz, d_rot, d_scale = _apply_deform(
+        deform_net, state.deform_vars, p.xyz, fid, 0.0,
+        use_deform, stop_grad_deform=True,
+    )
+
+    def loss_fn(feat32, off):
+        params = p._replace(gaussian_features=feat32)
+        out = render(
+            camera, params, aux.alive, bg_color,
+            d_xyz, d_rot, d_scale, is_6dof=is_6dof, sh_degree=sh_degree,
+            mean2d_offset=off, with_features=True,
+            norm_gaussian_features=True,
+            smooth_map=smooth_map if use_smoothing else None,
+            smooth_rng=rng_smooth if use_smoothing else None,
+            smooth_dropout=smooth_dropout,
+            raster_cfg=raster_cfg,
+        )
+        feats = out["render_gaussian_features"]  # (F, H, W)
+        # safe norm: background pixels composite to exactly 0, where
+        # linalg.norm's gradient is NaN
+        norm_per_px = jnp.sqrt(jnp.sum(feats * feats, axis=0) + 1e-12)
+        rendered_feature_norm = norm_per_px.mean()
+        rfn_reg = (1.0 - rendered_feature_norm) ** 2
+
+        hm, wm = mask_hw
+        if feats.shape[1:] != (hm, wm):
+            feats = jax.image.resize(
+                feats, (feats.shape[0], hm, wm), method="linear"
+            )
+        C_F = features_correspondence_matrix(feats, sample)
+        pos = positive_pixel_pair_loss[contrastive_mode](
+            C, C_F, sample, positive_th=positive_th, weights=weights
+        )
+        neg = negative_pixel_pair_loss[contrastive_mode](
+            C, C_F, sample, negative_th=negative_th, weights=weights
+        )
+        loss = pos + neg + rfn * rfn_reg
+
+        pair = (sample.pixel_valid[:, None] & sample.pixel_valid[None, :])
+        pos_sim = jnp.where(pair & (C == 1), C_F, 0.0).sum() / jnp.maximum(
+            (pair & (C == 1)).sum(), 1)
+        neg_sim = jnp.where(pair & (C == 0), C_F, 0.0).sum() / jnp.maximum(
+            (pair & (C == 0)).sum(), 1)
+        return loss, (out["radii"], out["visibility_filter"],
+                      rendered_feature_norm, pos_sim, neg_sim,
+                      out["overflow"])
+
+    (loss, (radii, visibility, rf_norm, pos_sim, neg_sim, overflow)), grads = (
+        jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            p.gaussian_features, off
+        )
+    )
+    gfeat, goff = grads
+
+    finite = jnp.isfinite(loss)
+    new_feat, new_feat_opt = adam_update(
+        p.gaussian_features, gfeat, state.opt.gaussian_features,
+        lrs.gaussian_features, row_mask=aux.alive,
+    )
+    new_params = p._replace(gaussian_features=new_feat)
+    new_opt = state.opt._replace(gaussian_features=new_feat_opt)
+
+    new_aux = G.add_densification_stats(
+        aux, goff, visibility & aux.alive, radii,
+        camera.image_height, camera.image_width,
+    )
+
+    new_state = TrainState(
+        params=_where_tree(finite, new_params, p),
+        aux=_where_tree(finite, new_aux, aux),
+        opt=_where_tree(finite, new_opt, state.opt),
+        deform_vars=state.deform_vars,
+        deform_opt=state.deform_opt,
+    )
+    metrics = {"loss": loss, "finite": finite, "rfn": rf_norm,
+               "pos_sim": pos_sim, "neg_sim": neg_sim, "overflow": overflow}
+    return new_state, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new"))
+def densify_step(state: TrainState, rng, scene_extent, max_screen_size,
+                 *, cfg: G.DensifyConfig, max_new: int):
+    p, aux, opt, stats = G.densify_and_prune(
+        state.params, state.aux, state.opt, cfg,
+        scene_extent, max_screen_size, rng, max_new,
+    )
+    return state._replace(params=p, aux=aux, opt=opt), stats
+
+
+@jax.jit
+def reset_opacity_step(state: TrainState):
+    p, opt = G.reset_opacity(state.params, state.aux, state.opt)
+    return state._replace(params=p, opt=opt)
+
+
+def init_train_state(params, aux, deform_vars) -> TrainState:
+    return TrainState(
+        params=params,
+        aux=aux,
+        opt=G.init_opt_state(params),
+        deform_vars=deform_vars,
+        deform_opt=jax.tree_util.tree_map(adam_init, deform_vars),
+    )
+
+
+def make_ast_noise_fn(num_frames: int, is_blender: bool):
+    """AST time-jitter amplitude (train.py:154,198): scalar
+    N(0,1) * (1/num_frames) * linear_decay(iteration)."""
+    smooth_term = linear_noise_func(
+        lr_init=0.1, lr_final=1e-15, lr_delay_mult=0.01, max_steps=20000
+    )
+    time_interval = 1.0 / max(num_frames, 1)
+
+    def fn(np_rng: np.random.Generator, iteration: int) -> float:
+        if is_blender:
+            return 0.0
+        return float(
+            np_rng.standard_normal() * time_interval * smooth_term(iteration)
+        )
+
+    return fn
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "deform_net", "vgg_ext", "image_height", "image_width",
+        "sh_degree", "use_deform", "is_6dof", "fx_key", "raster_cfg",
+    ),
+)
+def style_phase_step(
+    state: TrainState,
+    cam_buffers,
+    ref_vgg_feats: jnp.ndarray,  # (C, Nref) flattened style features
+    style_mask: jnp.ndarray,  # (C,) bool — gaussians allowed to change
+    fid: jnp.ndarray,
+    lrs: LearningRates,
+    bg_color: jnp.ndarray,
+    *,
+    deform_net: DeformNetwork,
+    vgg_ext,
+    image_height: int,
+    image_width: int,
+    sh_degree: int,
+    use_deform: bool,
+    is_6dof: bool,
+    fx_key: str,
+    raster_cfg: RT.RasterConfig,
+):
+    """One NNFM style-transfer step (train_style_transfer_nnfm.py:180-290):
+    render RGB, VGG features of the render, NNFM loss against the
+    reference style features; update ONLY features_dc / features_rest,
+    with gradients zeroed outside the selected object
+    (set_background_zero_grad, gaussian_model.py:155-157)."""
+    from ..losses.style import loss_nnfm_style
+
+    camera = RenderCamera(cam_buffers, image_height, image_width)
+    p, aux = state.params, state.aux
+    capacity = p.xyz.shape[0]
+    off = jnp.zeros((capacity, 2))
+
+    d_xyz, d_rot, d_scale = _apply_deform(
+        deform_net, state.deform_vars, p.xyz, fid, 0.0,
+        use_deform, stop_grad_deform=True,
+    )
+
+    def loss_fn(f_dc, f_rest, off):
+        params = p._replace(features_dc=f_dc, features_rest=f_rest)
+        out = render(
+            camera, params, aux.alive, bg_color,
+            d_xyz, d_rot, d_scale, is_6dof=is_6dof, sh_degree=sh_degree,
+            mean2d_offset=off, with_features=False, raster_cfg=raster_cfg,
+        )
+        image = jnp.clip(out["render"], 0.0, 1.0)
+        feats = vgg_ext(image)[fx_key][0]  # (C, h, w)
+        loss = loss_nnfm_style(
+            feats.reshape(feats.shape[0], -1), ref_vgg_feats
+        )
+        return loss, (out["radii"], out["visibility_filter"])
+
+    (loss, (radii, visibility)), grads = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2), has_aux=True
+    )(p.features_dc, p.features_rest, off)
+    g_dc, g_rest, goff = grads
+
+    finite = jnp.isfinite(loss)
+    row_mask = aux.alive & style_mask
+    new_dc, opt_dc = adam_update(
+        p.features_dc, g_dc, state.opt.features_dc,
+        lrs.features_dc, row_mask=row_mask)
+    new_rest, opt_rest = adam_update(
+        p.features_rest, g_rest, state.opt.features_rest,
+        lrs.features_rest, row_mask=row_mask)
+    new_params = p._replace(features_dc=new_dc, features_rest=new_rest)
+    new_opt = state.opt._replace(features_dc=opt_dc,
+                                 features_rest=opt_rest)
+
+    new_aux = G.add_densification_stats(
+        aux, goff, visibility & aux.alive, radii,
+        camera.image_height, camera.image_width,
+    )
+    new_state = state._replace(
+        params=_where_tree(finite, new_params, p),
+        aux=_where_tree(finite, new_aux, aux),
+        opt=_where_tree(finite, new_opt, state.opt),
+    )
+    return new_state, {"loss": loss, "finite": finite}

@@ -78,7 +78,10 @@ def features_correspondence_matrix(
     (utils/feature_utils.py:50-56)."""
     f = rendered_features.reshape(rendered_features.shape[0], -1)
     s = f[:, sample.pixel_idx].T  # (P, F)
-    s = s / (jnp.linalg.norm(s, axis=-1, keepdims=True) + 1e-12)
+    # safe normalize: linalg.norm has a NaN gradient at exactly 0, and
+    # padded/invalid sample slots can land on zero-feature background px
+    n = jnp.sqrt(jnp.sum(s * s, axis=-1, keepdims=True) + 1e-12)
+    s = s / n
     return jnp.einsum("hc,jc->hj", s, s, preferred_element_type=jnp.float32)
 
 

@@ -271,6 +271,7 @@ def densify_and_prune(
     (params, aux, opt, stats dict).
     """
     c = params.xyz.shape[0]
+    max_new = min(max_new, c)  # selection gathers cannot exceed capacity
     grads = aux.xyz_gradient_accum / jnp.maximum(aux.denom, 1e-12)
     grads = jnp.where(jnp.isnan(grads), 0.0, grads)
     scaling = get_scaling(params)
@@ -359,10 +360,12 @@ def densify_and_prune(
     # --- prune ----------------------------------------------------------
     opacity = jax.nn.sigmoid(new_params.opacity[:, 0])
     prune = opacity < cfg.min_opacity
-    if max_screen_size is not None and max_screen_size > 0:
-        big_vs = aux.max_radii2d > max_screen_size
-        big_ws = jnp.exp(new_params.scaling).max(axis=1) > 0.1 * scene_extent
-        prune = prune | big_vs | big_ws
+    # size pruning is active only when max_screen_size > 0 (the reference
+    # passes None before the first opacity reset); traced-friendly select
+    max_screen_size = jnp.asarray(max_screen_size)
+    big_vs = aux.max_radii2d > max_screen_size
+    big_ws = jnp.exp(new_params.scaling).max(axis=1) > 0.1 * scene_extent
+    prune = prune | ((max_screen_size > 0) & (big_vs | big_ws))
     # freshly written slots keep alive regardless of stale radii stats
     prune = prune & ~written & ~split_written
     alive3 = alive2 & ~prune

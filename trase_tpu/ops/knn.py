@@ -77,8 +77,9 @@ def smooth_features(
     features: (N, F); neighbor_idx: (N, K). Returns (N, F).
     """
     k = neighbor_idx.shape[1]
-    normed = features / (
-        jnp.linalg.norm(features, axis=-1, keepdims=True) + 1e-12
+    # safe norm (dead slots are all-zero; linalg.norm grad at 0 is NaN)
+    normed = features / jnp.sqrt(
+        jnp.sum(features * features, axis=-1, keepdims=True) + 1e-12
     )
     if rng is not None and 0.0 < dropout < 1.0:
         n_sel = max(int(k * dropout), 1)

@@ -1,0 +1,315 @@
+"""Multi-device execution: gaussian-parallel + tile-parallel SPMD.
+
+The reference is strictly single-GPU (SURVEY.md §2.4) — this module is
+the capability the TPU build adds: the gaussian set is sharded across
+the ICI mesh, projection/deformation run gaussian-parallel, the
+projected splats are all-gathered (they are ~45 floats/gaussian, far
+smaller than parameters+optimizer state), and alpha compositing runs
+tile-parallel with each device owning a slice of the image tiles. The
+loss is computed on the gathered image identically on all devices; in
+the backward pass XLA transposes the all-gathers into reduce-scatters
+and the deform-MLP gradient is explicitly psum'd.
+
+Axis name: "gauss". Capacity must be divisible by the mesh size (the
+fixed-capacity state makes that a construction-time choice).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..engine.optim import adam_update, adam_update_tree
+from ..losses.image_losses import l1_loss
+from ..models import gaussians as G
+from ..models.deform import DeformNetwork, deform_step
+from ..ops import rasterize as RT
+from ..ops.projection import CameraBuffers, compute_cov3d, project_gaussians
+from ..ops.ssim import ssim
+
+AXIS = "gauss"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _row_spec(x):
+    if hasattr(x, "ndim") and x.ndim >= 1:
+        return P(AXIS)
+    return P()
+
+
+def shard_train_state(mesh: Mesh, state):
+    """Place a TrainState (or any pytree whose per-gaussian arrays have
+    the capacity as leading dim) on the mesh: per-row arrays sharded on
+    AXIS, scalars and the deform MLP replicated."""
+
+    def place(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def shard_leaf(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return place(x, P(AXIS))
+        return place(x, P())
+
+    sharded = state._replace(
+        params=jax.tree_util.tree_map(shard_leaf, state.params),
+        aux=jax.tree_util.tree_map(shard_leaf, state.aux),
+        opt=jax.tree_util.tree_map(shard_leaf, state.opt),
+        deform_vars=jax.tree_util.tree_map(
+            lambda x: place(x, P()), state.deform_vars),
+        deform_opt=jax.tree_util.tree_map(
+            lambda x: place(x, P()), state.deform_opt),
+    )
+    return sharded
+
+
+def _gathered_projection(params_shard, alive_shard, d_xyz, d_rot, d_scale,
+                         cam: CameraBuffers, H, W, sh_degree,
+                         mean2d_offset_shard):
+    """Project the local gaussian shard, then all-gather the (small)
+    projected representation so every device can composite any tile."""
+    from ..renderer import apply_deformation
+
+    means3d, scales, rots = apply_deformation(
+        params_shard, d_xyz, d_rot, d_scale
+    )
+    opacity = G.get_opacity(params_shard)[:, 0]
+    opacity = jnp.where(alive_shard, opacity, 0.0)
+    cov3d = compute_cov3d(scales, rots, 1.0)
+    proj = project_gaussians(
+        means3d, cov3d, opacity, cam, H, W,
+        sh_coeffs=G.get_features(params_shard), sh_degree=sh_degree,
+    )
+    if mean2d_offset_shard is not None:
+        proj = proj._replace(mean2d=proj.mean2d + mean2d_offset_shard)
+    # all-gather each small per-gaussian array along the shard axis
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.all_gather(x, AXIS, axis=0, tiled=True), proj
+    )
+
+
+def _composite_my_tiles(proj, extra, bg_color, H, W, cfg: RT.RasterConfig,
+                        n_shards: int):
+    """Tile-parallel compositing: this device composites its slice of
+    tile batches, then tiles are all-gathered into the full image."""
+    th, tw = RT._tile_grid(H, W)
+    num_tiles = th * tw
+    sorted_gauss, tile_start, overflow = RT.build_tile_lists(
+        proj, H, W, cfg)
+
+    opacity = jnp.where(proj.valid, proj.opacity, 0.0)
+    chans = [proj.color]
+    if extra is not None:
+        chans.append(extra)
+    chans.append(proj.depth[:, None])
+    gdata = jnp.concatenate(chans, axis=1)
+    C = gdata.shape[1]
+
+    tb = cfg.tile_batch
+    # pad so the batch count divides the mesh size
+    n_batches = -(-num_tiles // tb)
+    n_batches = -(-n_batches // n_shards) * n_shards
+    pad_tiles = n_batches * tb
+    my = jax.lax.axis_index(AXIS)
+    per_dev = n_batches // n_shards
+    batch0 = my * per_dev
+    tiles = (batch0 * tb) + jnp.arange(per_dev * tb, dtype=jnp.int32)
+    tiles = jnp.minimum(tiles, num_tiles - 1).reshape(per_dev, tb)
+
+    composite = functools.partial(
+        RT._composite_tiles,
+        sorted_gauss=sorted_gauss, tile_start=tile_start, gdata=gdata,
+        mean2d=proj.mean2d, conic=proj.conic, opacity=opacity,
+        tw=tw, K=cfg.max_per_tile,
+    )
+    composite = jax.checkpoint(composite)
+    out, acc = jax.lax.map(composite, tiles)  # (per_dev, tb, C, 256)
+    out = out.reshape(per_dev * tb, C, RT.TILE, RT.TILE)
+    acc = acc.reshape(per_dev * tb, RT.TILE, RT.TILE)
+
+    # gather the tile slices -> full tile array on every device
+    out = jax.lax.all_gather(out, AXIS, axis=0, tiled=True)[:num_tiles]
+    acc = jax.lax.all_gather(acc, AXIS, axis=0, tiled=True)[:num_tiles]
+
+    out = out.reshape(th, tw, C, RT.TILE, RT.TILE)
+    out = out.transpose(2, 0, 3, 1, 4).reshape(C, th * RT.TILE, tw * RT.TILE)
+    out = out[:, :H, :W]
+    acc = acc.reshape(th, tw, RT.TILE, RT.TILE)
+    acc = acc.transpose(0, 2, 1, 3).reshape(th * RT.TILE, tw * RT.TILE)
+    acc = acc[:H, :W]
+
+    rgb = out[:3] + (1.0 - acc)[None] * bg_color[:, None, None]
+    result = {"render": rgb, "depth": out[-1:], "alpha": acc[None],
+              "overflow": overflow}
+    if extra is not None:
+        result["feats"] = out[3:-1]
+    return result
+
+
+def sharded_render_fn(mesh: Mesh, H: int, W: int, sh_degree: int,
+                      raster_cfg: RT.RasterConfig = RT.RasterConfig()):
+    """Jitted multi-device render: params sharded on AXIS, image
+    replicated out. Deformation deltas are scalars (canonical render)."""
+    n_shards = mesh.shape[AXIS]
+    params_specs = G.GaussianParams(
+        *[P(AXIS)] * len(G.GaussianParams._fields))
+    cam_specs = CameraBuffers(*[P()] * len(CameraBuffers._fields))
+
+    def _render(params_shard, alive_shard, cam: CameraBuffers, bg_color):
+        proj = _gathered_projection(
+            params_shard, alive_shard, 0.0, 0.0, 0.0, cam, H, W,
+            sh_degree, None)
+        out = _composite_my_tiles(proj, None, bg_color, H, W, raster_cfg,
+                                  n_shards)
+        return out["render"]
+
+    return jax.jit(shard_map(
+        _render, mesh=mesh,
+        in_specs=(params_specs, P(AXIS), cam_specs, P()),
+        out_specs=P(),
+        check_vma=False,
+    ))
+
+
+def make_sharded_gaussian_step(
+    mesh: Mesh,
+    deform_net: DeformNetwork,
+    H: int,
+    W: int,
+    sh_degree: int,
+    *,
+    use_deform: bool = True,
+    lambda_dssim: float = 0.2,
+    raster_cfg: RT.RasterConfig = RT.RasterConfig(),
+):
+    """Multi-device GAUSSIAN-phase training step (full fwd+bwd+Adam).
+
+    State sharding: per-gaussian arrays split on AXIS; deform MLP
+    replicated (its gradient is psum'd across the mesh). Loss/metrics
+    come out replicated.
+    """
+    from ..engine.trainer import LearningRates, TrainState
+
+    n_shards = mesh.shape[AXIS]
+
+    def _specs_like(tree, spec):
+        return jax.tree_util.tree_map(lambda _: spec, tree)
+
+    def body(state: TrainState, cam: CameraBuffers, gt_image, fid,
+             ast_noise, lrs: LearningRates, bg_color):
+        p, aux = state.params, state.aux
+        local_c = p.xyz.shape[0]
+        off = jnp.zeros((local_c, 2))
+
+        def loss_fn(params_shard, deform_vars, off_shard):
+            if use_deform:
+                t = jnp.full((local_c, 1), 0.0) + fid + ast_noise
+                d_xyz, d_rot, d_scale = deform_step(
+                    deform_net, deform_vars,
+                    jax.lax.stop_gradient(params_shard.xyz), t)
+            else:
+                d_xyz, d_rot, d_scale = 0.0, 0.0, 0.0
+            proj = _gathered_projection(
+                params_shard, aux.alive, d_xyz, d_rot, d_scale,
+                cam, H, W, sh_degree, off_shard)
+            out = _composite_my_tiles(
+                proj, None, bg_color, H, W, raster_cfg, n_shards)
+            image = out["render"]
+            ll1 = l1_loss(image, gt_image)
+            loss = (1 - lambda_dssim) * ll1 + lambda_dssim * (
+                1 - ssim(image, gt_image))
+            return loss, (ll1, out["overflow"], proj.radius)
+
+        (loss, (ll1, overflow, radii_full)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(p, state.deform_vars, off)
+        gp, gdeform, goff = grads
+        # the local backward only accounts for this device's gaussians;
+        # the replicated deform MLP needs the cross-shard sum
+        gdeform = jax.lax.psum(gdeform, AXIS)
+
+        finite = jnp.isfinite(loss)
+        alive = aux.alive
+        new_fields, new_opt_fields = {}, {}
+        for name, lr in (
+            ("xyz", lrs.xyz), ("features_dc", lrs.features_dc),
+            ("features_rest", lrs.features_rest),
+            ("opacity", lrs.opacity), ("scaling", lrs.scaling),
+            ("rotation", lrs.rotation),
+        ):
+            np_, ns_ = adam_update(
+                getattr(p, name), getattr(gp, name),
+                getattr(state.opt, name), lr, row_mask=alive)
+            new_fields[name] = np_
+            new_opt_fields[name] = ns_
+        new_params = p._replace(**new_fields)
+        new_opt = state.opt._replace(**new_opt_fields)
+
+        if use_deform:
+            new_deform, new_deform_opt = adam_update_tree(
+                state.deform_vars, gdeform, state.deform_opt, lrs.deform)
+        else:
+            new_deform, new_deform_opt = (state.deform_vars,
+                                          state.deform_opt)
+
+        # densification stats on the local shard: slice this device's
+        # rows back out of the gathered radii
+        my = jax.lax.axis_index(AXIS)
+        radii_local = jax.lax.dynamic_slice_in_dim(
+            jax.lax.stop_gradient(radii_full), my * local_c, local_c)
+        vis_local = radii_local > 0
+        new_aux = G.add_densification_stats(
+            aux, goff, vis_local & alive, radii_local, H, W)
+
+        cond = lambda n, o: jnp.where(finite, n, o)  # noqa: E731
+        tm = jax.tree_util.tree_map
+        new_state = TrainState(
+            params=tm(cond, new_params, p),
+            aux=tm(cond, new_aux, aux),
+            opt=tm(cond, new_opt, state.opt),
+            deform_vars=tm(cond, new_deform, state.deform_vars),
+            deform_opt=tm(cond, new_deform_opt, state.deform_opt),
+        )
+        metrics = {"loss": loss, "l1": ll1, "finite": finite,
+                   "overflow": overflow}
+        return new_state, metrics
+
+    def specs_for_state(state: TrainState) -> TrainState:
+        return TrainState(
+            params=_specs_like(state.params, P(AXIS)),
+            aux=_specs_like(state.aux, P(AXIS)),
+            opt=jax.tree_util.tree_map(
+                lambda x: P(AXIS) if getattr(x, "ndim", 0) >= 1 else P(),
+                state.opt),
+            deform_vars=_specs_like(state.deform_vars, P()),
+            deform_opt=_specs_like(state.deform_opt, P()),
+        )
+
+    def build(state_template: TrainState):
+        in_state_specs = specs_for_state(state_template)
+        lr_specs = LearningRates(*[P()] * len(LearningRates._fields))
+        cam_specs = CameraBuffers(*[P()] * len(CameraBuffers._fields))
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(in_state_specs, cam_specs, P(), P(), P(),
+                      lr_specs, P()),
+            out_specs=(in_state_specs,
+                       {"loss": P(), "l1": P(), "finite": P(),
+                        "overflow": P()}),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    return build

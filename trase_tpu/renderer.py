@@ -146,8 +146,10 @@ def render(
             feats = smooth_features(feats, smooth_map, smooth_rng,
                                     smooth_dropout)
         if norm_gaussian_features:
-            feats = feats / (
-                jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-9
+            # safe norm: dead slots hold all-zero features and
+            # linalg.norm's gradient at 0 is NaN
+            feats = feats / jnp.sqrt(
+                jnp.sum(feats * feats, axis=-1, keepdims=True) + 1e-12
             )
         extra = feats
 

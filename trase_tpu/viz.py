@@ -1,0 +1,102 @@
+"""Visualization helpers for the render CLI and GUI server.
+
+Behavioral contract: render.py:46-95 in the reference — QR+SVD PCA of
+3D gaussian features to RGB (`feature3d_to_rgb`), PCA of a rendered
+feature map (`feature_to_rgb`), and the CPU-style point splat used for
+the pointcloud / gaussian_clusters / gaussian_feats streams
+(render.py:246-296).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def feature3d_to_rgb(x: jnp.ndarray, n_components: int = 3) -> jnp.ndarray:
+    """(N, F) features -> (N, 3) PCA colors in [0, 1]."""
+    x = jnp.asarray(x, jnp.float32)
+    centered = x - x.mean(axis=0)
+    q, r = jnp.linalg.qr(centered)
+    u, s, _ = jnp.linalg.svd(r, full_matrices=False)
+    compress = u[:, :n_components] @ jnp.diag(s[:n_components])
+    pca = q @ compress
+    return (pca - pca.min()) / (pca.max() - pca.min() + 1e-12)
+
+
+def feature_to_rgb(feats: jnp.ndarray, n_components: int = 3) -> jnp.ndarray:
+    """(F, H, W) rendered feature map -> (3, H, W) PCA visualization."""
+    f, h, w = feats.shape
+    flat = feats.reshape(f, -1).T  # (HW, F)
+    rgb = feature3d_to_rgb(flat, n_components)  # (HW, 3)
+    return rgb.T.reshape(3, h, w)
+
+
+def point_splat(
+    points3d: jnp.ndarray,  # (N, 3) deformed positions
+    full_proj: jnp.ndarray,  # (4, 4) row-vector projection
+    image_height: int,
+    image_width: int,
+    colors: jnp.ndarray | None = None,  # (N, 3) or None => white
+    white_background: bool = False,
+) -> np.ndarray:
+    """One-pixel point rendering (render.py:246-296). Returns (3,H,W)."""
+    pts = np.asarray(points3d)
+    hom = np.concatenate([pts, np.ones_like(pts[:, :1])], axis=1)
+    p = hom @ np.asarray(full_proj)
+    xy = p[:, :2] / (p[:, 3:4] + 1e-9)
+    xy = (xy + 1) / 2 * np.array([image_width, image_height])
+
+    bg = 1.0 if white_background else 0.0
+    img = np.full((3, image_height, image_width), bg, np.float32)
+    ok = (
+        (xy[:, 0] > 0) & (xy[:, 0] < image_width)
+        & (xy[:, 1] > 0) & (xy[:, 1] < image_height)
+        & (p[:, 3] > 0)
+    )
+    xs = xy[ok, 0].astype(np.int64)
+    ys = xy[ok, 1].astype(np.int64)
+    if colors is None:
+        val = 0.0 if white_background else 1.0
+        img[:, ys, xs] = val
+    else:
+        c = np.asarray(colors)[ok]
+        img[0, ys, xs] = c[:, 0]
+        img[1, ys, xs] = c[:, 1]
+        img[2, ys, xs] = c[:, 2]
+    return img
+
+
+def to8b(x) -> np.ndarray:
+    """(3,H,W) float -> (H,W,3) uint8 (render.py:106)."""
+    return (255 * np.clip(np.asarray(x), 0, 1)).astype(np.uint8).transpose(
+        1, 2, 0)
+
+
+def save_image(path: str, img) -> None:
+    from PIL import Image
+
+    Image.fromarray(to8b(img)).save(path)
+
+
+def write_video(path: str, frames, fps: int = 30) -> None:
+    """frames: list of (H,W,3) uint8; mp4 via imageio, cv2 fallback."""
+    if not frames:
+        return
+    try:
+        import imageio
+
+        imageio.mimwrite(path, frames[::2], fps=fps, quality=8)
+        return
+    except Exception:  # noqa: BLE001 — no ffmpeg backend in imageio
+        pass
+    try:
+        import cv2
+
+        h, w = frames[0].shape[:2]
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+        for f in frames[::2]:
+            vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        vw.release()
+    except Exception as e:  # noqa: BLE001
+        print(f"[viz] video write failed ({e}); skipping {path}")
