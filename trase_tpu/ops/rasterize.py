@@ -103,10 +103,9 @@ def build_tile_lists(
     tile_key = jnp.where(valid_pair, tile_id, num_tiles).astype(jnp.int32)
     depth_key = jnp.where(valid_pair, proj.depth[g], jnp.inf)
 
-    _, _, sorted_gauss = jax.lax.sort(
+    sorted_tile, _, sorted_gauss = jax.lax.sort(
         (tile_key, depth_key, g), num_keys=2
     )
-    sorted_tile = jax.lax.sort((tile_key,), num_keys=1)[0]
 
     tile_start = jnp.searchsorted(
         sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
