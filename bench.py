@@ -1,17 +1,25 @@
 #!/usr/bin/env python
-"""Benchmark: steady-state render throughput of the flagship pipeline.
+"""Benchmark: steady-state throughput of the flagship pipeline.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 
-Measures jitted end-to-end frame time (deform MLP + projection + tile
-binning + alpha compositing of RGB+depth) at 1K-class resolution with a
-production-scale gaussian count, on whatever device JAX provides (the
-driver supplies the real TPU). ``vs_baseline`` is the ratio against the
-reference CUDA stack's ballpark at the same setting (single consumer
-GPU, diff-gaussian-rasterization forward ~10 ms/frame at 1K for ~10^5
-gaussians => 100 FPS) — the reference repo publishes no numbers
-(BASELINE.md), so this anchor is an external estimate, held fixed
-across rounds for comparability.
+Primary metric: jitted end-to-end frame time (deform MLP + projection +
+tile binning + Pallas alpha compositing of RGB+depth) at 1K-class
+resolution with a production-scale gaussian count. ``vs_baseline`` is
+the ratio against the reference CUDA stack's ballpark at the same
+setting (single consumer GPU, diff-gaussian-rasterization forward
+~10 ms/frame at 1K for ~10^5 gaussians => 100 FPS) — the reference
+repo publishes no numbers (BASELINE.md), so this anchor is an external
+estimate, held fixed across rounds for comparability.
+
+Extra fields: GAUSSIAN-phase and FEATURE-phase train step rates
+(iters/sec, full forward+backward+Adam, 32-ch feature compositing
+included in the FEATURE phase) — the reference's iter_time metric
+(train.py:140-141,303,340).
+
+Timing note: the TPU tunnel used by the driver does not synchronize on
+block_until_ready; every measurement fetches a small host value to
+force a real drain of the device queue.
 """
 from __future__ import annotations
 
@@ -29,7 +37,27 @@ REFERENCE_FPS_ANCHOR = 100.0  # CUDA 3DGS fwd @1K, ~100k gaussians
 N_GAUSSIANS = 100_000
 HEIGHT, WIDTH = 1008, 1344  # Neu3D-class 1K resolution (multiple of 16)
 WARMUP = 3
-ITERS = 20
+ITERS = 30
+
+
+def _time(fn, *args, iters=ITERS):
+    import jax.numpy as jnp
+
+    out = None
+    for _ in range(WARMUP):
+        out = fn(*args)
+    _ = np.asarray(jnp.ravel(_leaf(out))[:1])  # drain
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _ = np.asarray(jnp.ravel(_leaf(out))[:1])  # force real completion
+    return (time.perf_counter() - t0) / iters
+
+
+def _leaf(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)[0]
 
 
 def main():
@@ -56,7 +84,7 @@ def main():
                              HEIGHT, WIDTH)
     net = make_deform_network("DeformNetwork")
     dvars = init_deform(jax.random.PRNGKey(0), net)
-    cfg = RasterConfig(pairs_per_gaussian=4, max_per_tile=512,
+    cfg = RasterConfig(pairs_per_gaussian=8, max_per_tile=512,
                        tile_batch=64)
     alive = aux.alive
     bg = jnp.zeros(3)
@@ -70,19 +98,55 @@ def main():
                       raster_cfg=cfg)["render"]
 
     fid = jnp.float32(0.5)
-    for _ in range(WARMUP):
-        frame(params, dvars, fid).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        frame(params, dvars, fid).block_until_ready()
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = _time(frame, params, dvars, fid)
     fps = 1.0 / dt
+
+    # --- train-step rates (reference iter_time analogue) ---
+    from trase_tpu.engine import trainer as T
+
+    state = T.init_train_state(params, aux, dvars)
+    lrs = T.LearningRates(*[jnp.float32(1e-4)] * 8)
+    gt = jnp.zeros((3, HEIGHT, WIDTH))
+
+    def gstep(state):
+        new_state, _ = T.gaussian_phase_step(
+            state, cam.buffers, gt, fid, jnp.float32(0.0), lrs, bg,
+            deform_net=net, image_height=HEIGHT, image_width=WIDTH,
+            sh_degree=3, use_deform=True, is_6dof=False,
+            lambda_dssim=0.2, lambda_reg_deform=0.0, raster_cfg=cfg,
+        )
+        return new_state
+
+    dt_g = _time(gstep, state, iters=10)
+
+    # FEATURE phase: 8 SAM masks at half res, 32-ch feature compositing
+    hm, wm = HEIGHT // 2, WIDTH // 2
+    masks = jnp.zeros((8, hm, wm), jnp.float32).at[:, ::2, ::2].set(1.0)
+    mask_valid = jnp.ones((8,), bool)
+    smooth_map = jnp.zeros((params.xyz.shape[0], 1), jnp.int32)
+
+    def fstep(state):
+        new_state, _ = T.feature_phase_step(
+            state, cam.buffers, masks, mask_valid, fid,
+            jax.random.PRNGKey(1), lrs, bg, smooth_map,
+            deform_net=net, image_height=HEIGHT, image_width=WIDTH,
+            sh_degree=3, use_deform=True, is_6dof=False,
+            contrastive_mode="soft", rfn=1.0, positive_th=0.75,
+            negative_th=0.5, num_sampled_pixels=4096,
+            num_sampled_masks=8, use_smoothing=False,
+            smooth_dropout=0.5, mask_hw=(hm, wm), raster_cfg=cfg,
+        )
+        return new_state
+
+    dt_f = _time(fstep, state, iters=10)
 
     print(json.dumps({
         "metric": "render_fps_1k_100k_gaussians",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / REFERENCE_FPS_ANCHOR, 3),
+        "train_gaussian_iters_per_sec": round(1.0 / dt_g, 2),
+        "train_feature_iters_per_sec": round(1.0 / dt_f, 2),
     }))
 
 

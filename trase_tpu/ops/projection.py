@@ -5,8 +5,13 @@ CUDA rasterizer (submodules/diff-gaussian-rasterization, interface pinned
 by gaussian_renderer/__init__.py:58-146): world->view transform, frustum
 cull, 3D covariance from scale/rotation, perspective Jacobian to 2D
 covariance with the +0.3 pixel low-pass, conic + screen radius, and
-SH->RGB evaluation. Everything is embarrassingly parallel over N — on
-TPU it's one fused elementwise pipeline plus small matmuls.
+SH->RGB evaluation.
+
+TPU layout note: everything is computed in structure-of-arrays form —
+per-gaussian components as (N,) vectors so N rides the 128-lane axis.
+Batched (N,3,3) matmuls or (N,3) minor-dim arithmetic waste >95% of
+the VPU lanes on TPU (the minor dim maps to lanes); the quaternion,
+covariance, and EWA algebra is therefore expanded to scalar formulas.
 """
 from __future__ import annotations
 
@@ -14,8 +19,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..utils.quaternion import build_scaling_rotation, unpack_sym33
-from ..utils.sh import eval_sh
+from ..utils.sh import C0, C1, C2, C3
 
 
 class CameraBuffers(NamedTuple):
@@ -40,9 +44,69 @@ class ProjectedGaussians(NamedTuple):
 
 def compute_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
                   scale_modifier: float = 1.0) -> jnp.ndarray:
-    """(N,3) activated scales + (N,4) quats -> (N,3,3) covariance."""
-    L = build_scaling_rotation(scale_modifier * scales, rotations)
-    return jnp.matmul(L, jnp.swapaxes(L, 1, 2))
+    """(N,3) activated scales + (N,4) wxyz quats -> (N,6) packed symmetric
+    covariance [xx, xy, xz, yy, yz, zz] = R diag(s^2) R^T.
+
+    Matches the reference's build_scaling_rotation -> L L^T
+    (utils/general_utils.py:122-154), expanded to elementwise form.
+    """
+    q = rotations / jnp.linalg.norm(rotations, axis=-1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    # rotation matrix rows (scalar formulas)
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s0 = (scale_modifier * scales[:, 0]) ** 2
+    s1 = (scale_modifier * scales[:, 1]) ** 2
+    s2 = (scale_modifier * scales[:, 2]) ** 2
+    xx = s0 * r00 * r00 + s1 * r01 * r01 + s2 * r02 * r02
+    xy = s0 * r00 * r10 + s1 * r01 * r11 + s2 * r02 * r12
+    xz = s0 * r00 * r20 + s1 * r01 * r21 + s2 * r02 * r22
+    yy = s0 * r10 * r10 + s1 * r11 * r11 + s2 * r12 * r12
+    yz = s0 * r10 * r20 + s1 * r11 * r21 + s2 * r12 * r22
+    zz = s0 * r20 * r20 + s1 * r21 * r21 + s2 * r22 * r22
+    return jnp.stack([xx, xy, xz, yy, yz, zz], axis=1)
+
+
+def _eval_sh_soa(deg: int, sh_t: jnp.ndarray, x, y, z):
+    """SoA SH eval: sh_t (K, 3, N) coefficients, x/y/z (N,) unit dirs.
+
+    Returns (r, g, b) each (N,). Same constants/order as utils.sh.eval_sh
+    (reference utils/sh_utils.py:57-112).
+    """
+    basis = [jnp.full_like(x, C0)]
+    if deg > 0:
+        basis += [-C1 * y, C1 * z, -C1 * x]
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            basis += [
+                C2[0] * xy, C2[1] * yz, C2[2] * (2.0 * zz - xx - yy),
+                C2[3] * xz, C2[4] * (xx - yy),
+            ]
+            if deg > 2:
+                basis += [
+                    C3[0] * y * (3 * xx - yy),
+                    C3[1] * xy * z,
+                    C3[2] * y * (4 * zz - xx - yy),
+                    C3[3] * z * (2 * zz - 3 * xx - 3 * yy),
+                    C3[4] * x * (4 * zz - xx - yy),
+                    C3[5] * z * (xx - yy),
+                    C3[6] * x * (xx - 3 * yy),
+                ]
+    out = []
+    for c in range(3):
+        acc = basis[0] * sh_t[0, c]
+        for k in range(1, len(basis)):
+            acc = acc + basis[k] * sh_t[k, c]
+        out.append(acc)
+    return out
 
 
 def project_gaussians(
@@ -59,22 +123,24 @@ def project_gaussians(
 ) -> ProjectedGaussians:
     """EWA projection of N gaussians to screen space.
 
-    means3d: (N,3); cov3d: (N,3,3) or packed (N,6); opacities: (N,) or (N,1);
-    sh_coeffs: (N, (deg+1)^2, 3) or None when colors_precomp is given.
+    means3d: (N,3); cov3d: packed (N,6) [xx,xy,xz,yy,yz,zz] or (N,3,3);
+    opacities: (N,) or (N,1); sh_coeffs: (N, (deg+1)^2, 3) or None when
+    colors_precomp is given.
     """
     N = means3d.shape[0]
-    if cov3d.ndim == 2:
-        cov3d = unpack_sym33(cov3d)
+    if cov3d.ndim == 3:
+        cov3d = jnp.stack(
+            [cov3d[:, 0, 0], cov3d[:, 0, 1], cov3d[:, 0, 2],
+             cov3d[:, 1, 1], cov3d[:, 1, 2], cov3d[:, 2, 2]], axis=1)
     opacities = opacities.reshape(N)
 
-    ones = jnp.ones((N, 1), dtype=means3d.dtype)
-    hom = jnp.concatenate([means3d, ones], axis=1)
+    mx, my_, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    WV = cam.world_view  # (4,4) row-vector convention: p' = p @ WV
 
-    # View space (row-vector convention: p' = p @ M, matching the
-    # reference's pre-transposed world_view_transform).
-    p_view = hom @ cam.world_view
-    t = p_view[:, :3]
-    tz_raw = t[:, 2]
+    # View space (p_view = [x y z 1] @ WV)
+    tx = mx * WV[0, 0] + my_ * WV[1, 0] + mz * WV[2, 0] + WV[3, 0]
+    ty = mx * WV[0, 1] + my_ * WV[1, 1] + mz * WV[2, 1] + WV[3, 1]
+    tz_raw = mx * WV[0, 2] + my_ * WV[1, 2] + mz * WV[2, 2] + WV[3, 2]
     # Culled gaussians (tz <= znear, e.g. parked dead slots at the origin
     # with tz == 0) must not poison gradients: 0/0 forward NaNs survive
     # the downstream validity `where` in the backward pass. Divide by a
@@ -83,45 +149,50 @@ def project_gaussians(
     tz = jnp.where(behind, jnp.ones_like(tz_raw), tz_raw)
 
     # Clip space -> NDC -> pixels.
-    p_hom = hom @ cam.full_proj
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
-    p_ndc = p_hom[:, :3] * p_w[:, None]
+    FP = cam.full_proj
+    hx = mx * FP[0, 0] + my_ * FP[1, 0] + mz * FP[2, 0] + FP[3, 0]
+    hy = mx * FP[0, 1] + my_ * FP[1, 1] + mz * FP[2, 1] + FP[3, 1]
+    hw = mx * FP[0, 3] + my_ * FP[1, 3] + mz * FP[2, 3] + FP[3, 3]
+    p_w = 1.0 / (hw + 1e-7)
     # CUDA rasterizer: pix = ((ndc + 1) * S - 1) * 0.5
-    mean2d = jnp.stack(
-        [
-            ((p_ndc[:, 0] + 1.0) * image_width - 1.0) * 0.5,
-            ((p_ndc[:, 1] + 1.0) * image_height - 1.0) * 0.5,
-        ],
-        axis=1,
-    )
+    px = ((hx * p_w + 1.0) * image_width - 1.0) * 0.5
+    py = ((hy * p_w + 1.0) * image_height - 1.0) * 0.5
 
-    # EWA: J W Sigma W^T J^T with clamped view-space x/y (1.3 * tan(fov/2)).
+    # EWA: J W Sigma W^T J^T with clamped view-space x/y (1.3 tan(fov/2)).
     limx = 1.3 * cam.tanfovx
     limy = 1.3 * cam.tanfovy
-    txtz = jnp.clip(t[:, 0] / tz, -limx, limx) * tz
-    tytz = jnp.clip(t[:, 1] / tz, -limy, limy) * tz
-
+    txtz = jnp.clip(tx / tz, -limx, limx) * tz
+    tytz = jnp.clip(ty / tz, -limy, limy) * tz
     focal_x = image_width / (2.0 * cam.tanfovx)
     focal_y = image_height / (2.0 * cam.tanfovy)
 
-    zero = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            focal_x / tz, zero, -(focal_x * txtz) / (tz * tz),
-            zero, focal_y / tz, -(focal_y * tytz) / (tz * tz),
-        ],
-        axis=-1,
-    ).reshape(N, 2, 3)
+    # J = [[fx/tz, 0, -fx*txtz/tz^2], [0, fy/tz, -fy*tytz/tz^2]],
+    # W = world_view[:3,:3]^T (column-vector rotation), T = J @ W:
+    inv_tz = 1.0 / tz
+    j00 = focal_x * inv_tz
+    j02 = -(focal_x * txtz) * inv_tz * inv_tz
+    j11 = focal_y * inv_tz
+    j12 = -(focal_y * tytz) * inv_tz * inv_tz
+    # W[i, k] = WV[k, i] (since world_view is stored pre-transposed)
+    t00 = j00 * WV[0, 0] + j02 * WV[0, 2]
+    t01 = j00 * WV[1, 0] + j02 * WV[1, 2]
+    t02 = j00 * WV[2, 0] + j02 * WV[2, 2]
+    t10 = j11 * WV[0, 1] + j12 * WV[0, 2]
+    t11 = j11 * WV[1, 1] + j12 * WV[1, 2]
+    t12 = j11 * WV[2, 1] + j12 * WV[2, 2]
 
-    W = cam.world_view[:3, :3].T  # rotation part, column-vector convention
-    T_mat = J @ W  # (N,2,3)
-    cov2d = T_mat @ cov3d @ jnp.swapaxes(T_mat, 1, 2)  # (N,2,2)
-
-    # Low-pass filter: every splat is at least ~1px wide (the +0.3 of the
-    # reference kernel).
-    a = cov2d[:, 0, 0] + 0.3
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + 0.3
+    cxx, cxy, cxz = cov3d[:, 0], cov3d[:, 1], cov3d[:, 2]
+    cyy, cyz, czz = cov3d[:, 3], cov3d[:, 4], cov3d[:, 5]
+    # S @ T^T rows (u = row of T mapped through Sigma)
+    s0t0 = cxx * t00 + cxy * t01 + cxz * t02
+    s1t0 = cxy * t00 + cyy * t01 + cyz * t02
+    s2t0 = cxz * t00 + cyz * t01 + czz * t02
+    s0t1 = cxx * t10 + cxy * t11 + cxz * t12
+    s1t1 = cxy * t10 + cyy * t11 + cyz * t12
+    s2t1 = cxz * t10 + cyz * t11 + czz * t12
+    a = t00 * s0t0 + t01 * s1t0 + t02 * s2t0 + 0.3
+    b = t00 * s0t1 + t01 * s1t1 + t02 * s2t1
+    c = t10 * s0t1 + t11 * s1t1 + t12 * s2t1 + 0.3
 
     det = a * c - b * b
     det_inv = 1.0 / (det + 1e-12)
@@ -135,10 +206,10 @@ def project_gaussians(
     # Frustum / validity culling.
     valid = ~behind & (det > 0.0)
     in_image = (
-        (mean2d[:, 0] + radius > 0)
-        & (mean2d[:, 0] - radius < image_width)
-        & (mean2d[:, 1] + radius > 0)
-        & (mean2d[:, 1] - radius < image_height)
+        (px + radius > 0)
+        & (px - radius < image_width)
+        & (py + radius > 0)
+        & (py - radius < image_height)
     )
     valid = valid & in_image
     radius = jnp.where(valid, radius, 0.0)
@@ -146,14 +217,18 @@ def project_gaussians(
     if colors_precomp is not None:
         color = colors_precomp
     else:
-        # sh_coeffs: (N, K, 3) -> eval along camera ray directions.
-        dirs = means3d - cam.campos[None, :]
-        dirs = dirs / (jnp.linalg.norm(dirs, axis=1, keepdims=True) + 1e-9)
-        shs_view = jnp.swapaxes(sh_coeffs, 1, 2)  # (N, 3, K)
-        color = jnp.maximum(eval_sh(sh_degree, shs_view, dirs) + 0.5, 0.0)
+        dx = mx - cam.campos[0]
+        dy = my_ - cam.campos[1]
+        dz = mz - cam.campos[2]
+        inv_n = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz + 1e-18)
+        sh_t = jnp.transpose(sh_coeffs, (1, 2, 0))  # (K, 3, N)
+        r, g, bch = _eval_sh_soa(sh_degree, sh_t, dx * inv_n, dy * inv_n,
+                                 dz * inv_n)
+        color = jnp.maximum(
+            jnp.stack([r, g, bch], axis=1) + 0.5, 0.0)
 
     return ProjectedGaussians(
-        mean2d=mean2d,
+        mean2d=jnp.stack([px, py], axis=1),
         depth=tz,
         conic=conic,
         radius=radius,

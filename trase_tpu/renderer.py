@@ -28,9 +28,30 @@ import numpy as np
 
 from .models import gaussians as G
 from .ops import rasterize as RT
+from .ops import rasterize_pallas as RTP
 from .ops.knn import smooth_features
 from .ops.projection import CameraBuffers, compute_cov3d, project_gaussians
 from .utils.rigid import from_homogeneous, to_homogeneous
+
+
+def default_backend() -> str:
+    """'pallas' on TPU, 'dense' elsewhere (CPU tests, interpret-free)."""
+    import jax
+
+    return "pallas" if jax.default_backend().startswith("tpu") else "dense"
+
+
+def _rasterize(backend, proj, extra, bg_color, H, W, cfg):
+    if backend is None:
+        backend = default_backend()
+    if backend == "pallas":
+        return RTP.rasterize_tiled_pallas(proj, extra, bg_color, H, W, cfg)
+    if backend == "pallas_interpret":
+        return RTP.rasterize_tiled_pallas(proj, extra, bg_color, H, W, cfg,
+                                          interpret=True)
+    if backend == "dense":
+        return RT.rasterize_tiled(proj, extra, bg_color, H, W, cfg)
+    raise ValueError(f"unknown rasterizer backend: {backend}")
 
 
 class RenderCamera(NamedTuple):
@@ -105,6 +126,7 @@ def render(
     mean2d_offset: jnp.ndarray | None = None,
     with_features: bool = True,
     raster_cfg: RT.RasterConfig = RT.RasterConfig(),
+    backend: str | None = None,
 ):
     """Render one view. Returns the reference's output dict.
 
@@ -153,7 +175,7 @@ def render(
             )
         extra = feats
 
-    out = RT.rasterize_tiled(proj, extra, bg_color, H, W, raster_cfg)
+    out = _rasterize(backend, proj, extra, bg_color, H, W, raster_cfg)
 
     result = {
         "render": out["render"],
@@ -183,6 +205,7 @@ def render_composite(
     sh_degree: int = 3,
     mask: jnp.ndarray | None = None,
     raster_cfg: RT.RasterConfig = RT.RasterConfig(),
+    backend: str | None = None,
 ):
     """Composite a static background gaussian set with a deformed, edited
     dynamic set in a single rasterization (gaussian_renderer/__init__.py:
@@ -222,5 +245,5 @@ def render_composite(
         means, cov3d, opacity, camera.buffers, H, W,
         sh_coeffs=shs, sh_degree=sh_degree,
     )
-    out = RT.rasterize_tiled(proj, None, bg_color, H, W, raster_cfg)
+    out = _rasterize(backend, proj, None, bg_color, H, W, raster_cfg)
     return {"render": out["render"]}
