@@ -100,6 +100,12 @@ def render_sets(args):
         streams = ["renders", "gt", "rendered_feats", "canonical",
                    "pointcloud", "gaussian_clusters", "segmentation",
                    "gaussian_feats", "segment_objects", "pred_masks"]
+        text_stream = None
+        if args.text_prompt or args.text_prompt_mask:
+            tag = args.text_prompt or os.path.splitext(
+                os.path.basename(args.text_prompt_mask))[0]
+            text_stream = f"text_prompt_{tag}_objects"
+            streams.append(text_stream)
         for s in streams:
             os.makedirs(os.path.join(base, s), exist_ok=True)
         videos = {s: [] for s in streams}
@@ -162,6 +168,7 @@ def render_sets(args):
         from tqdm import tqdm
 
         text_cls_ids = None
+        text_mask = None
         for idx, view in enumerate(tqdm(views,
                                         desc=f"Rendering {name}")):
             fid = jnp.float32(view.fid)
@@ -196,6 +203,19 @@ def render_sets(args):
                     text_cls_ids = np.nonzero(
                         counts > args.threshold)[0].tolist()
                     print("Text prompt cls id: ", text_cls_ids)
+                    # cluster-membership + cosine refinement mask
+                    # (reference render.py:371-380)
+                    for tid in text_cls_ids:
+                        pre = cluster_ids == tid
+                        if not pre.any():
+                            continue
+                        post = pre & postprocessing(
+                            feats, feats[pre].mean(axis=0),
+                            score_threshold=args.score_threshold)
+                        text_mask = (post if text_mask is None
+                                     else text_mask | post)
+                    if text_mask is not None:
+                        text_mask = jnp.asarray(text_mask)
 
             # PCA feature render (override_color path)
             rf = render_frame(params, d, view,
@@ -277,6 +297,25 @@ def render_sets(args):
                 save_image(os.path.join(base, "segment_objects",
                                         f"{idx:05d}.png"), so_img)
                 videos["segment_objects"].append(to8b(so_img))
+
+            # text-prompt selected object (reference render.py:368-396):
+            # binarized white render -> inlier mask -> masked RGB with
+            # background pixels forced to bg color
+            if text_mask is not None and text_stream is not None:
+                white = jnp.ones((capacity, 3), jnp.float32)
+                tp = render_frame(params, d, view, override_color=white,
+                                  mask=text_mask)
+                tbuf = np.array(tp["render"])
+                tbuf[tbuf < 0.5] = 0
+                tbuf[tbuf != 0] = 1
+                t_inlier = tbuf.mean(axis=0).astype(bool)
+                to_img = np.array(
+                    render_frame(params, d, view, mask=text_mask)["render"])
+                to_img[:, ~t_inlier] = (1.0 if dataset.white_background
+                                        else 0.0)
+                save_image(os.path.join(base, text_stream,
+                                        f"{idx:05d}.png"), to_img)
+                videos[text_stream].append(to8b(to_img))
 
         for s, frames in videos.items():
             if frames:

@@ -1,28 +1,64 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
-The ambient environment preloads jax at interpreter startup (site
-customization) with JAX_PLATFORMS=axon (the TPU tunnel), so env vars
-set here are too late — the platform must be overridden through
-jax.config. XLA_FLAGS is still read at (lazy) backend initialization,
-so the virtual device count works from here as long as no test
-touched a device before conftest import (pytest imports conftest
-first).
+Two environment landmines, both learned the hard way:
+
+1. The ambient environment preloads jax at interpreter startup (site
+   customization) with JAX_PLATFORMS=axon (the TPU tunnel) and latches
+   the platform — setting os.environ["JAX_PLATFORMS"] from conftest is
+   too late. The only reliable switch is re-executing the test process
+   with the env var present from the very first import, done below in
+   pytest_configure (after stopping pytest's fd capture, or the child's
+   output lands in the parent's deleted capture tempfile).
+
+2. The axon registration pins `jax_platforms="axon,cpu"` and installs
+   canonicalization/lowering hooks + a remote-compile relay. Overriding
+   to cpu in-process (`jax.config.update("jax_platforms", "cpu")`, what
+   round 1 did) leaves those hooks active and CPU compilation silently
+   reroutes through the relay, returning subtly MISCOMPILED executables
+   (observed: a masked rasterization losing 30 of 32 gaussians —
+   deterministic, data-dependent, ~10x faster than an honest local CPU
+   compile). The only pristine CPU backend comes from suppressing the
+   axon registration altogether: unset PALLAS_AXON_POOL_IPS (the
+   sitecustomize trigger) and re-exec.
 """
 import os
+import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
-import jax  # noqa: E402
+def _env_ok() -> bool:
+    return (os.environ.get("JAX_PLATFORMS") == "cpu"
+            and "PALLAS_AXON_POOL_IPS" not in os.environ)
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", False)
 
-assert jax.devices()[0].platform == "cpu", (
-    "tests must run on the CPU backend; got " + str(jax.devices()[:1])
-)
-assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+def pytest_configure(config):
+    if _env_ok():
+        return
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    capman = config.pluginmanager.get_plugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execv(sys.executable, [sys.executable, "-m", "pytest"]
+             + sys.argv[1:])
+
+
+if _env_ok():
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+    import jax
+
+    assert jax.devices()[0].platform == "cpu", (
+        "tests must run on the CPU backend; got " + str(jax.devices()[:1])
+    )
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"

@@ -64,6 +64,28 @@ def decode_mask_file(path: str) -> np.ndarray | None:
     raise ValueError(f"Unrecognized mask container in {path}")
 
 
+def mask_file_shape(path: str) -> tuple | None:
+    """(N, H, W) of a mask file WITHOUT decoding the bits, when the
+    container carries shape metadata (.npz native format, .pt dicts).
+    Returns None when a full decode is required."""
+    if not os.path.exists(path):
+        return None
+    if path.endswith(".npz"):
+        z = np.load(path)
+        if "packed" in z:
+            return (int(z["N"]), int(z["H"]), int(z["W"]))
+        return tuple(z["masks"].shape)
+    if path.endswith(".pt"):
+        import torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(obj, dict):
+            return (int(obj["N"]), int(obj["H"]), int(obj["W"]))
+        if torch.is_tensor(obj):
+            return tuple(obj.shape)
+    return None
+
+
 def save_mask_file(path: str, masks: np.ndarray):
     """Native .npz format: bit-packed, shape-tagged."""
     n, h, w = masks.shape

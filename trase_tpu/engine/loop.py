@@ -96,11 +96,22 @@ class Trainer:
             self.num_frames, dataset_args.is_blender
         )
 
-        # device-side caches
-        self._gt_cache: dict = {}
-        self._mask_cache: dict = {}
+        # device-side caches — BOUNDED (LRU): a padded (M_max, H, W)
+        # mask stack is ~M_max*H*W*4 bytes and a gt image ~H*W*12; at
+        # Neu3D scale an unbounded per-camera cache OOMs the chip
+        # (reference trades the same memory with load2gpu_on_the_fly /
+        # load_*_on_the_fly, arguments/__init__.py:68,73-74)
+        from collections import OrderedDict
+
+        self.gt_cache_size = int(getattr(opt_args, "gt_cache_size", 128))
+        self.mask_cache_size = int(getattr(opt_args, "mask_cache_size", 8))
+        self._gt_cache: OrderedDict = OrderedDict()
+        self._mask_cache: OrderedDict = OrderedDict()
         self._mask_hw: Optional[tuple] = None
         self._m_max: Optional[int] = None
+        self._prefetcher = None
+        self._prefetched: dict = {}
+        self._next_cam = None
         self._smooth_map = None
         self._smooth_dirty = True
 
@@ -115,57 +126,89 @@ class Trainer:
     # ------------------------------------------------------------ caches
 
     def _gt_image(self, cam) -> jnp.ndarray:
-        if cam.uid not in self._gt_cache:
-            img = cam.image
-            if img is None:
-                from PIL import Image as PILImage
+        if cam.uid in self._gt_cache:
+            self._gt_cache.move_to_end(cam.uid)
+            return self._gt_cache[cam.uid]
+        img = cam.image
+        if img is None:
+            from PIL import Image as PILImage
 
-                with PILImage.open(cam.image_path) as im:
-                    data = np.asarray(im.convert("RGBA"), np.float32) / 255.0
-                bgn = np.asarray(self.bg_color)
-                arr = data[..., :3] * data[..., 3:4] + bgn * (
-                    1 - data[..., 3:4])
-                img = np.clip(arr.transpose(2, 0, 1), 0, 1).astype(np.float32)
-            self._gt_cache[cam.uid] = jnp.asarray(img)
+            with PILImage.open(cam.image_path) as im:
+                data = np.asarray(im.convert("RGBA"), np.float32) / 255.0
+            bgn = np.asarray(self.bg_color)
+            arr = data[..., :3] * data[..., 3:4] + bgn * (
+                1 - data[..., 3:4])
+            img = np.clip(arr.transpose(2, 0, 1), 0, 1).astype(np.float32)
+        self._gt_cache[cam.uid] = jnp.asarray(img)
+        while len(self._gt_cache) > self.gt_cache_size:
+            self._gt_cache.popitem(last=False)
         return self._gt_cache[cam.uid]
 
     def _prepare_mask_meta(self, cams):
-        """One static (M_max, H, W) shape across the dataset."""
-        from ..data.masks import decode_mask_file
+        """One static (M_max, H, W) shape across the dataset. Reads
+        shape metadata only — no decoded stacks are retained (the
+        round-1 version held every decoded mask in host RAM)."""
+        from ..data.masks import decode_mask_file, mask_file_shape
 
         m_max, hw = 0, None
-        decoded = {}
         for cam in cams:
-            masks = cam.masks
-            if masks is None and cam.mask_path:
-                masks = decode_mask_file(cam.mask_path)
-                decoded[cam.uid] = masks
-            if masks is not None:
-                m_max = max(m_max, masks.shape[0])
-                hw = masks.shape[1:]
+            if cam.masks is not None:
+                shape = cam.masks.shape
+            elif cam.mask_path:
+                shape = mask_file_shape(cam.mask_path)
+                if shape is None:
+                    m = decode_mask_file(cam.mask_path)
+                    shape = None if m is None else m.shape
+            else:
+                shape = None
+            if shape is not None:
+                m_max = max(m_max, shape[0])
+                hw = tuple(shape[1:])
         self._m_max = max(m_max, 1)
         self._mask_hw = hw
-        self._decoded_masks = decoded
+        if any(cam.mask_path for cam in cams):
+            from ..data.masks import MaskPrefetcher
+
+            self._prefetcher = MaskPrefetcher(self._m_max)
+
+    def _submit_mask_prefetch(self, cam):
+        """Kick off background decode for an upcoming camera."""
+        if (self._prefetcher is not None and cam.masks is None
+                and cam.mask_path and cam.uid not in self._mask_cache
+                and cam.mask_path not in self._prefetched):
+            self._prefetched[cam.mask_path] = True
+            self._prefetcher.submit(cam.mask_path)
 
     def _masks_for(self, cam):
         if cam.uid in self._mask_cache:
+            self._mask_cache.move_to_end(cam.uid)
             return self._mask_cache[cam.uid]
         masks = cam.masks
-        if masks is None:
-            masks = getattr(self, "_decoded_masks", {}).get(cam.uid)
+        padded_np = valid_np = None
         if masks is None and cam.mask_path:
-            from ..data.masks import decode_mask_file
+            if cam.mask_path in self._prefetched:
+                # drain the prefetch queue until our file arrives
+                while cam.mask_path in self._prefetched:
+                    path, padded = self._prefetcher.get()
+                    del self._prefetched[path]
+                    if path == cam.mask_path and padded is not None:
+                        padded_np, valid_np = padded.masks, padded.valid
+            if padded_np is None:
+                from ..data.masks import decode_mask_file
 
-            masks = decode_mask_file(cam.mask_path)
-        if masks is None:
-            return None
-        n = masks.shape[0]
-        m = self._m_max
-        padded = np.zeros((m,) + masks.shape[1:], np.float32)
-        padded[: min(n, m)] = masks[:m]
-        valid = np.arange(m) < n
-        entry = (jnp.asarray(padded), jnp.asarray(valid))
+                masks = decode_mask_file(cam.mask_path)
+        if padded_np is None:
+            if masks is None:
+                return None
+            n = masks.shape[0]
+            m = self._m_max
+            padded_np = np.zeros((m,) + masks.shape[1:], np.float32)
+            padded_np[: min(n, m)] = masks[:m]
+            valid_np = np.arange(m) < n
+        entry = (jnp.asarray(padded_np), jnp.asarray(valid_np))
         self._mask_cache[cam.uid] = entry
+        while len(self._mask_cache) > self.mask_cache_size:
+            self._mask_cache.popitem(last=False)
         return entry
 
     def _get_smooth_map(self):
@@ -302,9 +345,22 @@ class Trainer:
 
             if not viewpoint_stack:
                 viewpoint_stack = list(train_cams)
-            cam = viewpoint_stack.pop(
-                int(self.np_rng.integers(0, len(viewpoint_stack)))
-            )
+            if self._next_cam is not None:
+                cam = self._next_cam
+            else:
+                cam = viewpoint_stack.pop(
+                    int(self.np_rng.integers(0, len(viewpoint_stack))))
+            # pre-draw the next view and start its mask decode on the
+            # background thread so bit-unpacking overlaps the device
+            # step (the reference decodes on the critical path,
+            # train.py:246-249)
+            if viewpoint_stack:
+                self._next_cam = viewpoint_stack.pop(
+                    int(self.np_rng.integers(0, len(viewpoint_stack))))
+                if has_masks:
+                    self._submit_mask_prefetch(self._next_cam)
+            else:
+                self._next_cam = None
 
             if self.opt_state.state == T.GAUSSIAN or not has_masks:
                 metrics = self._gaussian_step(cam, iteration)
@@ -343,6 +399,10 @@ class Trainer:
                     show["RFN"] = f"{float(metrics.get('rfn', 0)):.3f}"
                     show["Pos sim."] = f"{self.ema_pos:.3f}"
                     show["Neg sim."] = f"{self.ema_neg:.3f}"
+                if getattr(self.opt, "monitor_mem", False):
+                    # reference --monitor_mem fields (train.py:318-320):
+                    # peak device memory + host RSS
+                    show.update(self._memory_stats())
                 iter_bar.set_postfix(show)
                 iter_bar.update(10)
 
@@ -380,6 +440,27 @@ class Trainer:
         if n_iters > 0:
             print(f"[timing] {n_iters} iters in {dt:.1f}s = "
                   f"{n_iters / dt:.2f} it/s")
+
+    def _memory_stats(self) -> dict:
+        """Peak device bytes + host RSS, the reference's --monitor_mem
+        progress fields (train.py:318-320)."""
+        out = {}
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use",
+                             stats.get("bytes_in_use", 0))
+            if peak:
+                out["Mem"] = f"{peak / 2**30:.2f}GB"
+        except Exception:  # noqa: BLE001 — backend without memory_stats
+            pass
+        try:
+            import resource
+
+            rss_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+            out["RSS"] = f"{rss_kb / 2**20:.2f}GB"
+        except Exception:  # noqa: BLE001
+            pass
+        return out
 
     # ------------------------------------------------------------- eval
 

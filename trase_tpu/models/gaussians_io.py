@@ -83,12 +83,18 @@ def load_gaussian_ply(path: str, sh_degree: int = 3,
     n = len(props["x"])
     xyz = np.stack([props["x"], props["y"], props["z"]], axis=1)
 
-    r = (sh_degree + 1) ** 2 - 1
     f_dc = np.stack([props[f"f_dc_{i}"] for i in range(3)], axis=1)  # (n,3)
     rest_names = sorted(
         (k for k in props if k.startswith("f_rest_")),
         key=lambda s: int(s.split("_")[-1]),
     )
+    # infer the actual SH degree from the file (a snapshot trained at a
+    # lower degree is still loadable; callers get the real degree back)
+    r_file = len(rest_names) // 3
+    deg_file = int(round(np.sqrt(r_file + 1))) - 1
+    if (deg_file + 1) ** 2 - 1 == r_file and deg_file != sh_degree:
+        sh_degree = deg_file
+    r = (sh_degree + 1) ** 2 - 1
     assert len(rest_names) == 3 * r, (len(rest_names), r)
     rest = np.stack([props[k] for k in rest_names], axis=1)  # (n, 3r)
     rest = rest.reshape(n, 3, r).transpose(0, 2, 1)  # (n, r, 3)

@@ -203,8 +203,12 @@ def project_gaussians(
     lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius = jnp.ceil(3.0 * jnp.sqrt(lambda1))
 
-    # Frustum / validity culling.
-    valid = ~behind & (det > 0.0)
+    # Frustum / validity culling. Zero-opacity gaussians (dead capacity
+    # slots, masked-out gaussians) are culled too: they contribute
+    # exactly nothing but would otherwise flood the per-tile lists —
+    # a dead slot at the origin with unit scale covers the whole image
+    # and can push real gaussians past the per-tile compositing budget.
+    valid = ~behind & (det > 0.0) & (opacities > 0.0)
     in_image = (
         (px + radius > 0)
         & (px - radius < image_width)

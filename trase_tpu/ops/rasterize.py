@@ -110,6 +110,10 @@ def build_tile_lists(
     tile_start = jnp.searchsorted(
         sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
+    # per-tile truncation by max_per_tile is real dropped work — count it
+    tile_len = tile_start[1:] - tile_start[:-1]
+    overflow = overflow + jnp.sum(
+        jnp.maximum(tile_len - cfg.max_per_tile, 0))
     return sorted_gauss, tile_start, overflow
 
 
