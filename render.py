@@ -38,7 +38,8 @@ def render_sets(args):
     from trase_tpu.ops.rasterize import RasterConfig
     from trase_tpu.renderer import render
     from trase_tpu.viz import (
-        feature3d_to_rgb, point_splat, save_image, to8b, write_video,
+        AsyncImageWriter, feature3d_to_rgb, point_splat, to8b,
+        write_video,
     )
     from trase_tpu import models as _m  # noqa: F401
     from trase_tpu.models import gaussians as G
@@ -109,6 +110,9 @@ def render_sets(args):
         for s in streams:
             os.makedirs(os.path.join(base, s), exist_ok=True)
         videos = {s: [] for s in streams}
+        writer = AsyncImageWriter()
+        save_image = writer.submit  # multithreaded PNG writes
+        # (reference multithread_write, render.py:61-81)
 
         # save the raw 3D features for downstream tools
         np.save(os.path.join(base, "rendered_feats",
@@ -317,6 +321,7 @@ def render_sets(args):
                                         f"{idx:05d}.png"), to_img)
                 videos[text_stream].append(to8b(to_img))
 
+        writer.close()
         for s, frames in videos.items():
             if frames:
                 write_video(os.path.join(base, f"video_{s}.mp4"), frames)

@@ -1,0 +1,134 @@
+"""Dataset-converter tests: each converter produces a transforms scene
+the readers actually load (reference neu3d2blender.py /
+technocolor2blender.py / immersive2blender.py)."""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+cv2 = pytest.importorskip("cv2")
+
+H, W = 64, 96
+N_FRAMES = 4
+
+
+def _write_video(path, n=N_FRAMES, h=H, w=W, seed=0):
+    rng = np.random.default_rng(seed)
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+    for _ in range(n):
+        vw.write(rng.integers(0, 255, (h, w, 3), np.uint8))
+    vw.release()
+
+
+def _llff_pose_row(eye, h=H, w=W, fl=80.0):
+    """One LLFF poses_bounds row for a camera at `eye` looking at origin
+    (LLFF [down right back] column convention)."""
+    fwd = -eye / np.linalg.norm(eye)  # camera looks at origin
+    up = np.array([0, 1, 0.0])
+    right = np.cross(fwd, up); right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    c2w = np.stack([down, right, -fwd, eye], axis=1)  # (3,4) LLFF
+    hwf = np.array([[h], [w], [fl]])
+    return np.concatenate([c2w, hwf], axis=1).reshape(-1).tolist() + [0.5, 8.0]
+
+
+def test_neu3d_converter(tmp_path):
+    import neu3d2blender
+
+    scene = tmp_path / "flame_toy"
+    scene.mkdir()
+    eyes = [np.array([0, 0, 4.0]), np.array([1.2, 0.2, 3.8]),
+            np.array([-1.2, -0.2, 3.8])]
+    for i in range(3):
+        _write_video(str(scene / f"cam{i:02d}.mp4"), seed=i)
+    pb = np.array([_llff_pose_row(e) for e in eyes])
+    np.save(str(scene / "poses_bounds.npy"), pb)
+
+    neu3d2blender.main(["--path", str(scene), "--random_points"])
+
+    assert (scene / "transforms_train.json").exists()
+    assert (scene / "transforms_test.json").exists()
+    assert (scene / "points3d.ply").exists()
+    tt = json.loads((scene / "transforms_train.json").read_text())
+    assert len(tt["frames"]) == 2 * N_FRAMES  # cams 1,2 train; cam 0 test
+    assert {"w", "h", "fl_x", "cx"} <= set(tt.keys())
+
+    # the scene loads end-to-end through Scene
+    from trase_tpu.data.scene import Scene
+
+    class _A:
+        sh_degree = 1
+        source_path = str(scene)
+        model_path = str(tmp_path / "model")
+        images = "images"
+        resolution = -1
+        white_background = False
+        eval = True
+        load2gpu_on_the_fly = False
+        is_blender = False
+        is_6dof = False
+        load_mask_on_the_fly = False
+        load_image_on_the_fly = False
+        end_frame = -1
+        mask_black_bg = False
+
+    sc = Scene(_A(), resolution_scales=(1.0,))
+    assert len(sc.get_train_cameras()) == 2 * N_FRAMES
+    assert len(sc.get_test_cameras()) == N_FRAMES
+    fids = sorted({c.fid for c in sc.get_train_cameras()})
+    assert fids[0] == 0.0 and len(fids) == N_FRAMES
+    assert sc.cameras_extent > 0
+
+
+def test_technicolor_converter(tmp_path):
+    import technocolor2blender
+
+    scene = tmp_path / "MiniScene"
+    scene.mkdir()
+    rng = np.random.default_rng(0)
+    start, end = 10, 10 + N_FRAMES
+    n_cams = 3
+    # pre-undistorted stills <Scene>_undist_<frame5>_<cam2>.png
+    for fr in range(start, end):
+        for cam in range(n_cams):
+            img = rng.integers(0, 255, (technocolor2blender.H_FULL // 16,
+                                        technocolor2blender.W_FULL // 16, 3),
+                               np.uint8)
+            # converter reads full-res; use small fakes but fix H/W below
+            cv2.imwrite(str(scene / f"Mini_undist_{fr:05d}_{cam:02d}.png"),
+                        img)
+    # shrink the nominal full-res so the fakes are consistent
+    technocolor2blender.H_FULL = technocolor2blender.H_FULL // 16
+    technocolor2blender.W_FULL = technocolor2blender.W_FULL // 16
+
+    with open(scene / "cameras_parameters.txt", "w") as f:
+        f.write("focal cx cy d0 d1 qw qx qy qz tx ty tz\n")
+        for cam in range(n_cams):
+            f.write(f"100.0 {technocolor2blender.W_FULL/2} "
+                    f"{technocolor2blender.H_FULL/2} 0 0 "
+                    f"1 0 0 0 {0.1*cam} 0 4.0\n")
+
+    technocolor2blender.main([
+        "--path", str(scene), "--start", str(start), "--end", str(end),
+        "--random_points"])
+
+    tt = json.loads((scene / "transforms_train.json").read_text())
+    te = json.loads((scene / "transforms_test.json").read_text())
+    assert len(tt["frames"]) == (n_cams - 1) * N_FRAMES
+    assert len(te["frames"]) == N_FRAMES
+    f0 = tt["frames"][0]
+    assert {"fl_x", "cx", "w", "h", "time"} <= set(f0.keys())
+    assert (scene / "points3d.ply").exists()
+
+    # reader path: "technicolor" in path triggers the w2c convention
+    tech_dir = tmp_path / "technicolor_scene"
+    os.rename(scene, tech_dir)
+    from trase_tpu.data.readers import read_multi_view_info
+
+    info = read_multi_view_info(str(tech_dir), eval=True)
+    assert len(info.train_cameras) == (n_cams - 1) * N_FRAMES
+    assert len(info.test_cameras) == N_FRAMES

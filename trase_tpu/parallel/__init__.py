@@ -3,4 +3,5 @@ from .sharded import (  # noqa: F401
     shard_train_state,
     sharded_render_fn,
     make_sharded_gaussian_step,
+    make_sharded_feature_step,
 )

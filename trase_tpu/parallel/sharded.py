@@ -313,3 +313,161 @@ def make_sharded_gaussian_step(
         return jax.jit(fn)
 
     return build
+
+
+def make_sharded_feature_step(
+    mesh: Mesh,
+    deform_net: DeformNetwork,
+    H: int,
+    W: int,
+    sh_degree: int,
+    *,
+    use_deform: bool = True,
+    contrastive_mode: str = "soft",
+    rfn: float = 1.0,
+    positive_th: float = 0.75,
+    negative_th: float = 0.5,
+    num_sampled_pixels: int = 256,
+    num_sampled_masks: int = 8,
+    mask_hw: tuple = None,
+    use_pixel_weights: bool = True,
+    raster_cfg: RT.RasterConfig = RT.RasterConfig(),
+):
+    """Multi-device FEATURE-phase training step.
+
+    The quadratic contrastive stage (SURVEY §3.1's memory hot spot)
+    runs replicated on the gathered feature image — its cost is
+    (P x P) over sampled pixels, independent of N — while the
+    per-gaussian work (deform, projection, the 32-channel feature
+    normalization, Adam on `gaussian_features`) is gaussian-parallel
+    and compositing is tile-parallel, like the GAUSSIAN step. Masks
+    and the PRNG key are replicated so sampling is identical on every
+    device. Semantics mirror engine.trainer.feature_phase_step.
+    """
+    from ..engine.trainer import LearningRates, TrainState
+    from ..losses.contrastive import (
+        features_correspondence_matrix,
+        negative_pixel_pair_loss,
+        pixel_mask_correspondence_matrix,
+        pixel_weights,
+        positive_pixel_pair_loss,
+        sample_pixels_and_masks,
+    )
+
+    n_shards = mesh.shape[AXIS]
+
+    def _specs_like(tree, spec):
+        return jax.tree_util.tree_map(lambda _: spec, tree)
+
+    def body(state: TrainState, cam: CameraBuffers, sam_masks, mask_valid,
+             fid, rng, lrs: LearningRates, bg_color):
+        p, aux = state.params, state.aux
+        local_c = p.xyz.shape[0]
+        off = jnp.zeros((local_c, 2))
+
+        # identical split to feature_phase_step (parity; the smooth key
+        # is unused — sharded smoothing would need a cross-shard gather)
+        rng_sample, _ = jax.random.split(rng)
+        sample = sample_pixels_and_masks(
+            rng_sample, sam_masks, mask_valid, num_sampled_pixels,
+            num_sampled_masks)
+        C = pixel_mask_correspondence_matrix(sam_masks, sample)
+        weights = (pixel_weights(sam_masks, sample)
+                   if use_pixel_weights else None)
+
+        if use_deform:
+            t = jnp.full((local_c, 1), 0.0) + fid
+            d_xyz, d_rot, d_scale = deform_step(
+                deform_net, jax.lax.stop_gradient(state.deform_vars),
+                jax.lax.stop_gradient(p.xyz), t)
+        else:
+            d_xyz, d_rot, d_scale = 0.0, 0.0, 0.0
+
+        def loss_fn(feat_shard, off_shard):
+            params = p._replace(gaussian_features=feat_shard)
+            proj = _gathered_projection(
+                params, aux.alive, d_xyz, d_rot, d_scale,
+                cam, H, W, sh_degree, off_shard)
+            normed = feat_shard / jnp.sqrt(
+                jnp.sum(feat_shard * feat_shard, axis=-1, keepdims=True)
+                + 1e-12)
+            extra_full = jax.lax.all_gather(normed, AXIS, axis=0,
+                                            tiled=True)
+            out = _composite_my_tiles(
+                proj, extra_full, bg_color, H, W, raster_cfg, n_shards)
+            feats = out["feats"]  # (F, H, W), replicated
+            norm_per_px = jnp.sqrt(jnp.sum(feats * feats, axis=0) + 1e-12)
+            rf_norm = norm_per_px.mean()
+            rfn_reg = (1.0 - rf_norm) ** 2
+
+            hm, wm = mask_hw
+            if feats.shape[1:] != (hm, wm):
+                feats = jax.image.resize(
+                    feats, (feats.shape[0], hm, wm), method="linear")
+            C_F = features_correspondence_matrix(feats, sample)
+            pos = positive_pixel_pair_loss[contrastive_mode](
+                C, C_F, sample, positive_th=positive_th, weights=weights)
+            neg = negative_pixel_pair_loss[contrastive_mode](
+                C, C_F, sample, negative_th=negative_th, weights=weights)
+            loss = pos + neg + rfn * rfn_reg
+            return loss, (proj.radius, rf_norm, out["overflow"])
+
+        (loss, (radii_full, rf_norm, overflow)), grads = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                p.gaussian_features, off))
+        gfeat, goff = grads
+
+        finite = jnp.isfinite(loss)
+        new_feat, new_feat_opt = adam_update(
+            p.gaussian_features, gfeat, state.opt.gaussian_features,
+            lrs.gaussian_features, row_mask=aux.alive)
+        new_params = p._replace(gaussian_features=new_feat)
+        new_opt = state.opt._replace(gaussian_features=new_feat_opt)
+
+        my = jax.lax.axis_index(AXIS)
+        radii_local = jax.lax.dynamic_slice_in_dim(
+            jax.lax.stop_gradient(radii_full), my * local_c, local_c)
+        vis_local = radii_local > 0
+        new_aux = G.add_densification_stats(
+            aux, goff, vis_local & aux.alive, radii_local, H, W)
+
+        cond = lambda n, o: jnp.where(finite, n, o)  # noqa: E731
+        tm = jax.tree_util.tree_map
+        new_state = TrainState(
+            params=tm(cond, new_params, p),
+            aux=tm(cond, new_aux, aux),
+            opt=tm(cond, new_opt, state.opt),
+            deform_vars=state.deform_vars,
+            deform_opt=state.deform_opt,
+        )
+        metrics = {"loss": loss, "finite": finite, "rfn": rf_norm,
+                   "overflow": overflow}
+        return new_state, metrics
+
+    def specs_for_state(state: TrainState) -> TrainState:
+        return TrainState(
+            params=_specs_like(state.params, P(AXIS)),
+            aux=_specs_like(state.aux, P(AXIS)),
+            opt=jax.tree_util.tree_map(
+                lambda x: P(AXIS) if getattr(x, "ndim", 0) >= 1 else P(),
+                state.opt),
+            deform_vars=_specs_like(state.deform_vars, P()),
+            deform_opt=_specs_like(state.deform_opt, P()),
+        )
+
+    def build(state_template: TrainState):
+        in_state_specs = specs_for_state(state_template)
+        lr_specs = LearningRates(*[P()] * len(LearningRates._fields))
+        cam_specs = CameraBuffers(*[P()] * len(CameraBuffers._fields))
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(in_state_specs, cam_specs, P(), P(), P(), P(),
+                      lr_specs, P()),
+            out_specs=(in_state_specs,
+                       {"loss": P(), "finite": P(), "rfn": P(),
+                        "overflow": P()}),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    return build

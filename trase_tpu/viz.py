@@ -78,6 +78,33 @@ def save_image(path: str, img) -> None:
     Image.fromarray(to8b(img)).save(path)
 
 
+class AsyncImageWriter:
+    """Thread-pool PNG writer (reference multithread_write,
+    render.py:61-81): serial PIL saves dominate wall clock at hundreds
+    of frames x ~10 streams."""
+
+    def __init__(self, workers: int = 8):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=workers)
+        self._futures = []
+
+    def submit(self, path: str, img) -> None:
+        arr = to8b(img)  # convert on the caller thread (device array)
+
+        def _write():
+            from PIL import Image
+
+            Image.fromarray(arr).save(path)
+
+        self._futures.append(self._pool.submit(_write))
+
+    def close(self) -> None:
+        for f in self._futures:
+            f.result()
+        self._pool.shutdown()
+
+
 def write_video(path: str, frames, fps: int = 30) -> None:
     """frames: list of (H,W,3) uint8; mp4 via imageio, cv2 fallback."""
     if not frames:
