@@ -31,8 +31,10 @@ class TestPallasForward:
         bg = jnp.asarray([0.1, 0.2, 0.3])
         dense = R.rasterize_tiled(proj, jnp.asarray(feats), bg, H, W, CFG)
         pall = pallas_raster(proj, jnp.asarray(feats), bg, H, W)
-        for k, tol in [("render", 3e-6), ("feats", 3e-6), ("depth", 3e-5),
-                       ("alpha", 3e-6)]:
+        # 2e-5: the forward kernel evaluates splat power via the MXU
+        # monomial basis (different fp association than the dense path)
+        for k, tol in [("render", 2e-5), ("feats", 2e-5), ("depth", 1e-4),
+                       ("alpha", 2e-5)]:
             np.testing.assert_allclose(
                 np.asarray(pall[k]), np.asarray(dense[k]), atol=tol,
                 err_msg=k)

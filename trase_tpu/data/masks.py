@@ -51,16 +51,21 @@ def decode_mask_file(path: str) -> np.ndarray | None:
         m = obj["masks"]
         if torch.is_tensor(m):
             return m.numpy().reshape(n, h, w).astype(bool)
-        # array of bitarray objects (reference format) or raw bytes
+        # bitarray container (reference format: ONE bitarray of all
+        # N*H*W bits, extract_masks.py:92-99) or an array of per-mask
+        # bitarrays, or raw bytes
+        objs = list(np.asarray(m, dtype=object).ravel()) \
+            if isinstance(m, np.ndarray) else [m]
+        per_obj = (n * h * w) if len(objs) == 1 else (h * w)
         flat = []
-        for ba in np.asarray(m).ravel():
+        for ba in objs:
             if hasattr(ba, "tobytes"):
                 packed = np.frombuffer(ba.tobytes(), dtype=np.uint8)
-                bits = np.unpackbits(packed, count=h * w)
+                bits = np.unpackbits(packed, count=per_obj)
             else:
-                bits = np.asarray(ba, dtype=np.uint8).ravel()[: h * w]
+                bits = np.asarray(ba, dtype=np.uint8).ravel()[:per_obj]
             flat.append(bits)
-        return np.stack(flat).reshape(n, h, w).astype(bool)
+        return np.concatenate(flat).reshape(n, h, w).astype(bool)
     raise ValueError(f"Unrecognized mask container in {path}")
 
 
@@ -93,6 +98,24 @@ def save_mask_file(path: str, masks: np.ndarray):
     np.savez_compressed(path, packed=packed, N=n, H=h, W=w)
 
 
+def load_padded_masks(path: str, m_max: int) -> PaddedMasks | None:
+    """Decode + pad in one step. For the native bit-packed .npz format
+    this runs through the multithreaded C++ kernel (trase_io.cpp) —
+    one pass instead of unpackbits/reshape/astype/pad."""
+    if path.endswith(".npz") and os.path.exists(path):
+        z = np.load(path)
+        if "packed" in z:
+            from ..native import unpack_masks_padded
+
+            n, h, w = int(z["N"]), int(z["H"]), int(z["W"])
+            padded = unpack_masks_padded(np.asarray(z["packed"]), n, h, w,
+                                         m_max)
+            return PaddedMasks(masks=padded,
+                               valid=np.arange(m_max) < n)
+    masks = decode_mask_file(path)
+    return None if masks is None else pad_masks(masks, m_max)
+
+
 def pad_masks(masks: np.ndarray, m_max: int) -> PaddedMasks:
     n = masks.shape[0]
     if n >= m_max:
@@ -123,9 +146,7 @@ class MaskPrefetcher:
             path = self._jobs.get()
             if path is None:
                 return
-            masks = decode_mask_file(path)
-            padded = None if masks is None else pad_masks(masks, self.m_max)
-            self._q.put((path, padded))
+            self._q.put((path, load_padded_masks(path, self.m_max)))
 
     def submit(self, path: str):
         self._jobs.put(path)

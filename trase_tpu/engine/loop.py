@@ -133,12 +133,11 @@ class Trainer:
         if img is None:
             from PIL import Image as PILImage
 
+            from ..native import rgba_to_rgb_f32
+
             with PILImage.open(cam.image_path) as im:
-                data = np.asarray(im.convert("RGBA"), np.float32) / 255.0
-            bgn = np.asarray(self.bg_color)
-            arr = data[..., :3] * data[..., 3:4] + bgn * (
-                1 - data[..., 3:4])
-            img = np.clip(arr.transpose(2, 0, 1), 0, 1).astype(np.float32)
+                raw = np.asarray(im.convert("RGBA"))
+            img = rgba_to_rgb_f32(raw, np.asarray(self.bg_color))
         self._gt_cache[cam.uid] = jnp.asarray(img)
         while len(self._gt_cache) > self.gt_cache_size:
             self._gt_cache.popitem(last=False)
@@ -194,9 +193,11 @@ class Trainer:
                     if path == cam.mask_path and padded is not None:
                         padded_np, valid_np = padded.masks, padded.valid
             if padded_np is None:
-                from ..data.masks import decode_mask_file
+                from ..data.masks import load_padded_masks
 
-                masks = decode_mask_file(cam.mask_path)
+                padded = load_padded_masks(cam.mask_path, self._m_max)
+                if padded is not None:
+                    padded_np, valid_np = padded.masks, padded.valid
         if padded_np is None:
             if masks is None:
                 return None

@@ -146,25 +146,8 @@ def build_padded_pairs(proj: ProjectedGaussians, image_height: int,
     return sorted_gauss, sorted_valid, slab_tile, overflow
 
 
-def _splat_weights(payload, t_prev, t, tw, scan_lower):
-    """Shared fwd/bwd recompute: alpha, transmittances, weights.
-
-    payload: (F_pad, chunk) block; t_prev: (1, PIX) transmittance at
-    slab entry. Returns a dict of (chunk, PIX) blocks plus the
-    per-pair geometry columns.
-    """
-    chunk = PAIR_CHUNK
-    gt = payload[0:GEOM_ROWS, :].T  # (chunk, 8)
-    mx, my = gt[:, 0:1], gt[:, 1:2]
-    ca, cb, cc = gt[:, 2:3], gt[:, 3:4], gt[:, 4:5]
-    op = gt[:, 5:6]
-
-    pix = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
-    px = ((pix % TILE) + (t % tw) * TILE).astype(jnp.float32)
-    py = ((pix // TILE) + (t // tw) * TILE).astype(jnp.float32)
-    dx = mx - px  # (chunk, PIX)
-    dy = my - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+def _finish_weights(power, op, t_prev, scan_lower):
+    """alpha + transmittance scan from splat power (shared math)."""
     exp_pneg = jnp.exp(jnp.minimum(power, 0.0))
     alpha_un = op * exp_pneg
     alpha = jnp.minimum(alpha_un, ALPHA_MAX)
@@ -178,9 +161,37 @@ def _splat_weights(payload, t_prev, t, tw, scan_lower):
     incl = jnp.exp(cum) * t_prev  # T after each pair
     excl = incl / (1.0 - alpha)  # T before each pair
     w = jnp.where(incl >= T_EPS, alpha * excl, 0.0)
-    return dict(dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, op=op, power=power,
-                exp_pneg=exp_pneg, alpha_un=alpha_un, alpha=alpha,
-                incl=incl, excl=excl, w=w)
+    return dict(op=op, power=power, exp_pneg=exp_pneg, alpha_un=alpha_un,
+                alpha=alpha, incl=incl, excl=excl, w=w)
+
+
+def _splat_weights(payload, t_prev, t, tw, scan_lower):
+    """Backward-path recompute: alpha, transmittances, weights, AND the
+    (chunk, PIX) dx/dy blocks the gradient formulas need.
+
+    payload: (F_pad, chunk) block; t_prev: (1, PIX) transmittance at
+    slab entry.
+    """
+    gt = payload[0:GEOM_ROWS, :].T  # (chunk, 8)
+    mx, my = gt[:, 0:1], gt[:, 1:2]
+    ca, cb, cc = gt[:, 2:3], gt[:, 3:4], gt[:, 4:5]
+    op = gt[:, 5:6]
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    px = ((pix % TILE) + (t % tw) * TILE).astype(jnp.float32)
+    py = ((pix // TILE) + (t // tw) * TILE).astype(jnp.float32)
+    dx = mx - px  # (chunk, PIX)
+    dy = my - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    sw = _finish_weights(power, op, t_prev, scan_lower)
+    sw.update(dx=dx, dy=dy, ca=ca, cb=cb, cc=cc)
+    return sw
+
+
+# NOTE: a variant evaluating splat power as an MXU monomial-basis
+# matmul ((chunk,6) x (6,PIX)) was tried and measured SLOWER on v5e
+# than the direct VPU algebra — a contraction depth of 6 leaves the
+# 128x128 systolic array ~95% idle while adding relayouts.
 
 
 def _scan_lower():
