@@ -167,3 +167,32 @@ def test_viewer_cli_script(model_dir, tmp_path):
                      "--script", str(script), "--out", str(out_dir)])
     frames = sorted(os.listdir(out_dir))
     assert len(frames) == 2
+
+
+def test_composition(model_dir, tmp_path):
+    """Object extraction -> load_object -> render_composite (the
+    reference's removal/composition editing workflow:
+    gaussian_renderer/__init__.py:251-331, Scene(load_object=...))."""
+    scene, mdir = model_dir
+    from trase_tpu.viewer import HeadlessViewer
+
+    v = HeadlessViewer.from_model_path(mdir, sh_degree=1, W=96, H=96,
+                                       radius=3.0, backend="dense")
+    if v.cluster_ids is None:
+        v.cluster(sample_percent=1.0)
+    v.select_clusters([int(v.cluster_ids[0])])  # blob 0's cluster
+    obj_ply = v.save_object(str(tmp_path / "obj.ply"))
+
+    n = v.load_object(obj_ply)
+    assert n > 0
+    base = v.render_frame("Render")
+    comp = v.render_composite_frame(scales_bias=1.0,
+                                    motion_bias=(0.6, 0.0, 0.0))
+    assert comp.shape == base.shape
+    assert np.isfinite(comp).all()
+    # the composite contains the duplicated object -> differs from base
+    assert np.abs(comp - base).max() > 0.05
+    # identity-composite reproduces the plain render closely
+    comp_id = v.render_composite_frame()
+    lit = base.max(0) > 0.05
+    assert np.abs(comp_id - base)[:, lit].mean() < 0.15

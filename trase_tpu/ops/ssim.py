@@ -1,9 +1,15 @@
-"""Windowed SSIM in jnp (depthwise gaussian convolution).
+"""Windowed SSIM in jnp.
 
 Behavioral contract: utils/loss_utils.py:46-86 in the reference
-(11x11 gaussian window, sigma 1.5, SAME padding, C1=0.01^2, C2=0.03^2).
-The depthwise conv compiles to an XLA convolution that fuses with the
-surrounding elementwise ops.
+(11x11 gaussian window, sigma 1.5, SAME zero padding, C1=0.01^2,
+C2=0.03^2).
+
+TPU note: the obvious depthwise grouped convolution does NOT map to
+the MXU (grouped convs lower to slow VPU loops — 64 ms/image at 1K on
+v5e). The separable gaussian is instead applied as two dense BANDED
+matrix multiplies, (C*H, W) @ (W, W) then (H, H) @ ..., which ride the
+MXU at full rate; rows near the border simply lack taps, which is
+exactly SAME-with-zeros semantics.
 """
 from __future__ import annotations
 
@@ -15,7 +21,7 @@ from jax import lax
 
 
 @functools.lru_cache(maxsize=8)
-def _window_np(window_size: int, sigma: float):
+def _gauss_1d(window_size: int, sigma: float):
     import numpy as np
 
     g = np.array(
@@ -24,25 +30,36 @@ def _window_np(window_size: int, sigma: float):
             for x in range(window_size)
         ]
     )
-    g = g / g.sum()
-    w2d = np.outer(g, g).astype(np.float32)
-    return w2d
+    return (g / g.sum()).astype(np.float32)
 
 
-def _depthwise_conv(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """img: (C,H,W); window: (S,S) -> (C,H,W) SAME-padded depthwise conv."""
-    c = img.shape[0]
-    s = window.shape[0]
-    kernel = jnp.broadcast_to(window, (c, 1, s, s))  # (O=C, I/g=1, S, S)
-    out = lax.conv_general_dilated(
-        img[None],  # (1, C, H, W)
-        kernel,
-        window_strides=(1, 1),
-        padding=[(s // 2, s // 2), (s // 2, s // 2)],
-        feature_group_count=c,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out[0]
+@functools.lru_cache(maxsize=32)
+def _band_np(n: int, window_size: int, sigma: float):
+    """(n, n) banded matrix B with B[i, j] = g[j - i + S//2]."""
+    import numpy as np
+
+    g = _gauss_1d(window_size, sigma)
+    half = window_size // 2
+    B = np.zeros((n, n), np.float32)
+    for k in range(-half, half + 1):
+        idx = np.arange(max(0, -k), min(n, n - k))
+        B[idx, idx + k] = g[k + half]
+    return B
+
+
+def _depthwise_conv(img: jnp.ndarray, window_size: int = 11,
+                    sigma: float = 1.5) -> jnp.ndarray:
+    """img: (C,H,W) -> (C,H,W), separable gaussian via banded matmuls."""
+    c, h, w = img.shape
+    bw = jnp.asarray(_band_np(w, window_size, sigma))
+    bh = jnp.asarray(_band_np(h, window_size, sigma))
+    # blur along W: (C*H, W) @ (W, W)
+    y = jnp.dot(img.reshape(c * h, w), bw,
+                precision=lax.Precision.HIGHEST).reshape(c, h, w)
+    # blur along H: contract the H axis against the band
+    z = jnp.einsum("kh,chw->ckw", bh.T, y,
+                   precision=lax.Precision.HIGHEST)
+    return z
 
 
 def ssim(
@@ -52,13 +69,12 @@ def ssim(
     size_average: bool = True,
 ):
     """SSIM over (C,H,W) images in [0,1]."""
-    window = jnp.asarray(_window_np(window_size, 1.5))
-    mu1 = _depthwise_conv(img1, window)
-    mu2 = _depthwise_conv(img2, window)
+    mu1 = _depthwise_conv(img1, window_size)
+    mu2 = _depthwise_conv(img2, window_size)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _depthwise_conv(img1 * img1, window) - mu1_sq
-    sigma2_sq = _depthwise_conv(img2 * img2, window) - mu2_sq
-    sigma12 = _depthwise_conv(img1 * img2, window) - mu1_mu2
+    sigma1_sq = _depthwise_conv(img1 * img1, window_size) - mu1_sq
+    sigma2_sq = _depthwise_conv(img2 * img2, window_size) - mu2_sq
+    sigma12 = _depthwise_conv(img1 * img2, window_size) - mu1_mu2
     c1, c2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)

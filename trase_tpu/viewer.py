@@ -410,3 +410,53 @@ class HeadlessViewer:
         save_gaussian_ply(path, self.params, self.aux.alive,
                           mask=~np.asarray(self.segmented_mask))
         return path
+
+    # ---------- composition (gaussian_renderer/__init__.py:251-331,
+    # Scene(load_object=...), scene/__init__.py:106-119) ----------
+
+    def load_object(self, ply_path):
+        """Load an extracted object ply as the dynamic set for
+        composition; this viewer's model becomes the background."""
+        from .models.gaussians_io import load_gaussian_ply
+
+        params, aux, n, _ = load_gaussian_ply(ply_path,
+                                              sh_degree=self.sh_degree)
+        self.object_params = params
+        self.object_alive = aux.alive
+        self.object_n = n
+        return n
+
+    def render_composite_frame(self, scales_bias=1.0,
+                               motion_bias=(0.0, 0.0, 0.0),
+                               rotation_bias=(0.0, 0.0, 0.0), fid=None):
+        """Composite the loaded object (rescaled/rotated/translated,
+        deformed by this model's deform field) with the background set
+        in ONE rasterization. Returns (3, H, W)."""
+        import jax.numpy as jnp
+
+        from .renderer import render_composite
+
+        if getattr(self, "object_params", None) is None:
+            raise RuntimeError("load_object() first")
+        t0 = time.perf_counter()
+        camera = self._render_camera()
+        fid = self.fid if fid is None else fid
+        if self.deform_vars is not None:
+            from .models.deform import deform_step
+
+            cap = self.object_params.xyz.shape[0]
+            t = jnp.full((cap, 1), float(fid))
+            d_xyz, d_rot, d_scale = deform_step(
+                self.deform_net, self.deform_vars, self.object_params.xyz,
+                t)
+        else:
+            d_xyz = d_rot = d_scale = 0.0
+        out = render_composite(
+            camera, self.params, self.aux.alive,
+            self.object_params, self.object_alive,
+            d_xyz, d_rot, d_scale, self.bg,
+            scales_bias=scales_bias, motion_bias=motion_bias,
+            rotation_bias=rotation_bias, sh_degree=self.sh_degree,
+            raster_cfg=self.raster_cfg, backend=self.backend)
+        self.last_frame_ms = (time.perf_counter() - t0) * 1000.0
+        return np.asarray(out["render"])

@@ -24,6 +24,10 @@ Commands:
   remove                 render with the selected object removed
   save_object [path]     write point_cloud_object.ply of the selection
   save_rest [path]       write point_cloud_wo_object.ply
+  load_object <ply>      load an extracted object for composition
+  compose [s dx dy dz rx ry rz]
+                         composite the object (rescale/translate/rotate)
+                         with this model in one rasterization
   fps                    print last frame time / FPS
   quit
 """
@@ -140,6 +144,19 @@ def main(argv=None):
                 print("->", v.save_object(rest[0] if rest else None))
             elif cmd == "save_rest":
                 print("->", v.save_without_object(rest[0] if rest else None))
+            elif cmd == "load_object":
+                print(f"{v.load_object(rest[0])} gaussians loaded")
+            elif cmd == "compose":
+                vals = [float(x) for x in rest] + [0.0] * 7
+                img = v.render_composite_frame(
+                    scales_bias=vals[0] if rest else 1.0,
+                    motion_bias=tuple(vals[1:4]),
+                    rotation_bias=tuple(vals[4:7]))
+                nonlocal_path = os.path.join(out_dir,
+                                             f"frame_{frame_idx:04d}.png")
+                save_image(nonlocal_path, img)
+                frame_idx += 1
+                print(f"{v.last_frame_ms:.1f} ms -> {nonlocal_path}")
             elif cmd == "fps":
                 print(f"{v.last_frame_ms:.1f} ms ({v.fps:.1f} FPS)")
             else:
