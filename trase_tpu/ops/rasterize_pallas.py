@@ -152,7 +152,12 @@ def _finish_weights(power, op, t_prev, scan_lower):
     alpha_un = op * exp_pneg
     alpha = jnp.minimum(alpha_un, ALPHA_MAX)
     alpha = jnp.where((power > 0.0) | (alpha < ALPHA_EPS), 0.0, alpha)
+    return _transmittance(alpha, t_prev, scan_lower,
+                          dict(op=op, power=power, exp_pneg=exp_pneg,
+                               alpha_un=alpha_un))
 
+
+def _transmittance(alpha, t_prev, scan_lower, extra):
     lg = jnp.log1p(-alpha)
     cum = jax.lax.dot_general(
         scan_lower, lg, (((1,), (0,)), ((), ())),
@@ -161,8 +166,8 @@ def _finish_weights(power, op, t_prev, scan_lower):
     incl = jnp.exp(cum) * t_prev  # T after each pair
     excl = incl / (1.0 - alpha)  # T before each pair
     w = jnp.where(incl >= T_EPS, alpha * excl, 0.0)
-    return dict(op=op, power=power, exp_pneg=exp_pneg, alpha_un=alpha_un,
-                alpha=alpha, incl=incl, excl=excl, w=w)
+    extra.update(alpha=alpha, incl=incl, excl=excl, w=w)
+    return extra
 
 
 def _splat_weights(payload, t_prev, t, tw, scan_lower):
@@ -194,6 +199,30 @@ def _splat_weights(payload, t_prev, t, tw, scan_lower):
 # 128x128 systolic array ~95% idle while adding relayouts.
 
 
+def _splat_weights_fwd(payload, t_prev, t, tw, scan_lower):
+    """Forward-only variant: opacity folded into the splat power in log
+    space (log on a (chunk, 1) column), saving the per-pixel opacity
+    multiply and the power>0 clamps — valid payloads have PD conics
+    (power <= 0) and sanitized/dummy rows have op == 0 (log -> -inf ->
+    alpha 0). Bit-equivalent up to fp reassociation with
+    _splat_weights."""
+    gt = payload[0:GEOM_ROWS, :].T  # (chunk, 8)
+    mx, my = gt[:, 0:1], gt[:, 1:2]
+    ca, cb, cc = gt[:, 2:3], gt[:, 3:4], gt[:, 4:5]
+    log_op = jnp.log(jnp.maximum(gt[:, 5:6], 1e-38))
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    px = ((pix % TILE) + (t % tw) * TILE).astype(jnp.float32)
+    py = ((pix // TILE) + (t // tw) * TILE).astype(jnp.float32)
+    dx = mx - px  # (chunk, PIX)
+    dy = my - py
+    power = (-0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+             + log_op)
+    alpha = jnp.minimum(jnp.exp(power), ALPHA_MAX)
+    alpha = jnp.where(alpha < ALPHA_EPS, 0.0, alpha)
+    return _transmittance(alpha, t_prev, scan_lower, {})
+
+
 def _scan_lower():
     chunk = PAIR_CHUNK
     rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
@@ -218,8 +247,8 @@ def _fwd_kernel(st_ref, payload_ref, out_ref, tentry_ref, t_carry,
 
     @pl.when(alive)
     def _():
-        sw = _splat_weights(payload_ref[...], t_carry[...], t, tw,
-                            _scan_lower())
+        sw = _splat_weights_fwd(payload_ref[...], t_carry[...], t, tw,
+                                _scan_lower())
         vals = payload_ref[GEOM_ROWS:GEOM_ROWS + n_val, :]  # (n_val, chunk)
         contrib = jax.lax.dot_general(
             vals, sw["w"], (((1,), (0,)), ((), ())),
