@@ -92,7 +92,9 @@ def main():
     @jax.jit
     def frame(params, dvars, fid):
         t = jnp.full((params.xyz.shape[0], 1), 0.0) + fid
-        d_xyz, d_rot, d_scale = deform_step(net, dvars, params.xyz, t)
+        # inference path: bf16 hidden stack (params/outputs stay f32)
+        d_xyz, d_rot, d_scale = deform_step(net, dvars, params.xyz, t,
+                                            dtype=jnp.bfloat16)
         return render(cam, params, alive, bg, d_xyz, d_rot, d_scale,
                       sh_degree=3, with_features=False,
                       raster_cfg=cfg)["render"]

@@ -4,21 +4,27 @@ TPU-native replacement for the compositing stage of the reference's
 CUDA rasterizer (submodules/diff-gaussian-rasterization, contract per
 SURVEY.md §2.3a; call site gaussian_renderer/__init__.py:137-155). The
 projection / tile-binning stages stay in XLA (ops/projection.py,
-ops/rasterize.py:build_tile_lists); these kernels replace the dense
-jnp compositor (ops/rasterize.py:_composite_tiles) on the hot path.
+build_window_layout below); these kernels replace the dense jnp
+compositor (ops/rasterize.py:_composite_tiles) on the hot path.
 
-Design — *slab grid*, not tile grid:
+Design — *window grid* over the depth-sorted pair array:
 
-- Each tile's depth-sorted pair list is padded to a multiple of 128
-  columns ("slabs"), with at least one slab per tile, via one
-  searchsorted+gather relayout (build_slab_layout). Static capacity:
-  P_pad = pair_cap + num_tiles * 128.
-- The payload is a (F_pad, P_pad) f32 matrix in slab order: 8 geometry
-  rows [mean2d(2), conic(3), opacity, 0, 0] then the value channels
-  [rgb, (feat32), depth]. One XLA gather builds it per frame.
-- Forward grid = one program per slab. Blocks are plain BlockSpecs, so
-  Pallas double-buffers the payload DMA automatically. Per-tile state
-  (transmittance carry) lives in VMEM scratch, persisted across the
+- Pairs (gaussian, tile) are emitted in front-to-back gaussian order
+  (one N-sized depth presort) and grouped per tile by ONE single-key
+  stable sort on tile id. The per-gaussian payload — 8 geometry columns
+  [mean2d(2), conic(3), log opacity, 0, 0] + value channels
+  [rgb, (feat32), depth] — is gathered once into pair order:
+  sorted_payload (N*K + chunk, F_pad), row-major.
+- Each tile's pair range [A, B) is covered by 128-aligned windows
+  ("slabs") of sorted_payload rows. The kernels read window blocks
+  DIRECTLY via a scalar-prefetched block-index array — no slab
+  relayout, no second gather, no transposes. Lanes outside the tile's
+  [lo, hi) range within a window are masked in-kernel (they belong to
+  neighboring tiles). Empty tiles get one degenerate window (lo == hi)
+  so their output block is still zeroed; trailing unoccupied slabs
+  carry a `num_tiles` sentinel and are skipped.
+- Forward grid = one program per slab. Per-tile state (log-space
+  transmittance carry) lives in VMEM scratch, persisted across the
   sequential grid; the per-tile output block accumulates in VMEM while
   consecutive slabs map to the same tile (the standard reduction-block
   pattern) and is flushed when the tile changes.
@@ -26,9 +32,10 @@ Design — *slab grid*, not tile grid:
   (pair-chunk x pixels); the front-to-back transmittance scan is ONE
   (128,128)x(128,256) MXU matmul of log(1-alpha) against a lower-
   triangular ones matrix; channel accumulation is one
-  (n_val,128)x(128,256) MXU matmul. Early-out skips compute (not DMA)
-  once every pixel in the tile saturates (T < 1e-4), matching the
-  CUDA kernel's termination rule.
+  (n_val,128)x(128,256) MXU matmul. The composite weight is a single
+  exp of (log alpha + exclusive scan + log T) — no division. Early-out
+  skips compute (not DMA) once every pixel in the tile saturates
+  (T < 1e-4), matching the CUDA kernel's termination rule.
 - Forward also emits T at each slab entry (S, 256): the residual that
   makes the backward embarrassingly slab-parallel.
 
@@ -36,15 +43,17 @@ Backward (custom_vjp): one reverse pass over slabs. Recomputes
 alpha/T/w from the payload + saved slab-entry transmittance, carries
 the suffix accumulator R_i = sum_{j>i} q_j w_j across a tile's slabs
 in VMEM scratch (reverse grid order), and emits exact gradients for
-mean2d / conic / opacity / values:
+mean2d / conic / log-opacity / values:
 
     dL/dv_i      = sum_p g(p) w_i(p)
     dL/dalpha_i  = q_i T_i [keep] - R_i / (1 - alpha_i)
     dL/dpower    = dL/dalpha * alpha        (gated by the clamp/cutoffs)
+    dL/dlog_op   = row-sum of dL/dpower
 
-The screen-space mean gradient required by densification
-(reference train.py:366, scene/gaussian_model.py:637-639) flows
-through the mean2d rows. Gradients land on the (F_pad, P_pad) payload;
+Window blocks shared by two tiles are accumulated in VMEM across the
+(consecutive) revisits. The screen-space mean gradient required by
+densification (reference train.py:366, scene/gaussian_model.py:637-639)
+flows through the mean2d columns. Gradients land on sorted_payload;
 XLA autodiff transposes the payload gather into the scatter-add over
 gaussians (the moral equivalent of the CUDA backward's atomics).
 """
@@ -54,6 +63,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -61,33 +71,73 @@ from .projection import ProjectedGaussians
 from .rasterize import TILE, RasterConfig, _tile_grid, _tile_rects
 from .rasterize_ref import ALPHA_EPS, ALPHA_MAX, T_EPS
 
-PAIR_CHUNK = 128  # slab width = lane count
-GEOM_ROWS = 8  # mean2d(2) + conic(3) + opacity(1) + pad(2)
+PAIR_CHUNK = 128  # window width = lane count
+GEOM_COLS = 8  # mean2d(2) + conic(3) + log opacity(1) + pad(2)
 PIX = TILE * TILE  # 256
 
+LOG_ALPHA_MAX = float(np.log(ALPHA_MAX))
+LOG_ALPHA_EPS = float(np.log(ALPHA_EPS))
+LOG_T_EPS = float(np.log(T_EPS))
+LOG_ZERO = float(np.log(1e-38))  # log-opacity of dead / padding rows
 
-def build_padded_pairs(proj: ProjectedGaussians, image_height: int,
-                       image_width: int, cfg: RasterConfig):
-    """Fixed-K pair expansion + pre-padded (tile, depth) sort.
 
-    Each gaussian emits up to K = cfg.pairs_per_gaussian (tile, depth,
-    gauss) pairs, row-major over its covered tile rect (CUDA getRect
+def _cumsum_small(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive int32 cumsum via two tiny MXU matmuls.
+
+    jnp.cumsum on a few-thousand-element vector lowers to a
+    latency-bound multi-pass scan (~2.7 ms measured on v5e); two
+    triangular matmuls do it in ~0.1 ms. Exact for values < 2^24
+    (f32 mantissa).
+    """
+    n = x.shape[0]
+    c = 128
+    rows = -(-n // c)
+    xp = jnp.pad(x.astype(jnp.float32), (0, rows * c - n)).reshape(rows, c)
+    iu = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    ju = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    upper = (iu <= ju).astype(jnp.float32)  # x @ upper = row cumsums
+    row_cum = jax.lax.dot_general(
+        xp, upper, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    row_tot = row_cum[:, -1]  # (rows,)
+    ir = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    jr = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    strict = (ir < jr).astype(jnp.float32)
+    offs = jax.lax.dot_general(
+        row_tot[None, :], strict, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[0]
+    return (row_cum + offs[:, None]).reshape(-1)[:n].astype(jnp.int32)
+
+
+def build_window_layout(proj: ProjectedGaussians, image_height: int,
+                        image_width: int, cfg: RasterConfig):
+    """Fixed-K pair expansion + depth-ordered per-tile window layout.
+
+    Each gaussian emits up to K = cfg.pairs_per_gaussian (tile, gauss)
+    pairs, row-major over its covered tile rect (CUDA getRect
     semantics); rects larger than K tiles are truncated and the dropped
-    pair count reported as `overflow`. Per-tile dummy pairs (depth=inf)
-    pad every tile's segment to a multiple of PAIR_CHUNK — at least one
-    slab even for empty tiles — so ONE lax.sort yields the final slab
-    structure directly: slab s belongs to tile sorted_tile[s*128]. No
-    searchsorted / big gathers anywhere (those are 10-70ms ops on TPU
-    at this size; the sort is ~10ms).
+    pair count reported as `overflow`.
 
-    Returns (sorted_gauss (P,), sorted_valid (P,), slab_tile (S,),
-    overflow) with P = N*K + num_tiles*PAIR_CHUNK, S = P // PAIR_CHUNK.
+    Depth ordering comes from a cheap N-sized presort (gaussians ranked
+    by view depth), after which ONE single-key *stable* sort on tile id
+    groups pairs per tile while preserving front-to-back order. Each
+    tile's sorted-pair range [A, B) is then covered by PAIR_CHUNK-
+    aligned windows; per window the valid lane range [lo, hi) is pure
+    index arithmetic — no scatter histogram, no slab-relayout gather.
+
+    Returns (sorted_gauss (N*K,), slab_tile (S,), win (S,), lohi (S,),
+    overflow) with S = N*K//chunk + num_tiles + 2. `slab_tile` holds
+    `num_tiles` for unoccupied trailing slabs (the kernels skip those);
+    their `win` entries cover the sorted-payload tail blocks so the
+    backward kernel zeroes every gradient block exactly once. `lohi`
+    packs the lane range as lo * 256 + hi.
     """
     chunk = PAIR_CHUNK
     th, tw = _tile_grid(image_height, image_width)
     num_tiles = th * tw
     n = proj.mean2d.shape[0]
     K = cfg.pairs_per_gaussian
+    nk = n * K
 
     tx0, ty0, rect_w, count = _tile_rects(proj, th, tw)
     rect_h = count // jnp.maximum(rect_w, 1)
@@ -113,51 +163,92 @@ def build_padded_pairs(proj: ProjectedGaussians, image_height: int,
     x0 = jnp.clip(ct_x - w2 // 2, tx0, tx0 + jnp.maximum(rect_w - w2, 0))
     y0 = jnp.clip(ct_y - h2 // 2, ty0, ty0 + jnp.maximum(rect_h - h2, 0))
 
+    # Depth presort at N; ONE packed gather reorders the rect data.
+    depth_key = jnp.where(count2 > 0, proj.depth, jnp.inf)
+    _, order = jax.lax.sort(
+        (depth_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    packed = jnp.stack([x0, y0, jnp.maximum(w2, 1), count2], axis=1)[order]
+    x0_r, y0_r, w2_r, c2_r = (packed[:, 0], packed[:, 1], packed[:, 2],
+                              packed[:, 3])
+
     ks = jnp.arange(K, dtype=jnp.int32)[None, :]  # (1, K)
-    w_g = jnp.maximum(w2, 1)[:, None]
-    dx = ks % w_g
-    dy = ks // w_g
-    tile = (y0[:, None] + dy) * tw + (x0[:, None] + dx)  # (N, K)
-    pvalid = ks < count2[:, None]
+    dx = ks % w2_r[:, None]
+    dy = ks // w2_r[:, None]
+    tile = (y0_r[:, None] + dy) * tw + (x0_r[:, None] + dx)  # (N, K)
+    pvalid = ks < c2_r[:, None]
     tile = jnp.where(pvalid, tile, num_tiles).astype(jnp.int32)
-    depth = jnp.where(pvalid, proj.depth[:, None], jnp.inf)
-    gauss = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, K))
+    gauss = jnp.broadcast_to(order[:, None], (n, K))
 
-    # per-tile deficits to the next chunk multiple (>= 1 slab per tile)
-    counts = jnp.zeros((num_tiles,), jnp.int32).at[tile.ravel()].add(
-        pvalid.ravel().astype(jnp.int32), mode="drop")
-    deficit = jnp.where(counts == 0, chunk, (-counts) % chunk)
-    dk = jnp.arange(chunk, dtype=jnp.int32)[None, :]
-    dvalid = dk < deficit[:, None]  # (T, chunk)
-    dtile = jnp.where(
-        dvalid, jnp.arange(num_tiles, dtype=jnp.int32)[:, None], num_tiles)
-    ddepth = jnp.full((num_tiles, chunk), jnp.inf, depth.dtype)
-    dgauss = jnp.zeros((num_tiles, chunk), jnp.int32)
+    # Stable single-key sort: groups by tile, preserves depth order.
+    sorted_tile, sorted_gauss = jax.lax.sort(
+        (tile.ravel(), gauss.ravel()), num_keys=1, is_stable=True)
 
-    tile_all = jnp.concatenate([tile.ravel(), dtile.ravel()])
-    depth_all = jnp.concatenate([depth.ravel(), ddepth.ravel()])
-    gauss_all = jnp.concatenate([gauss.ravel(), dgauss.ravel()])
+    tile_start = jnp.searchsorted(
+        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        side="left", method="scan_unrolled").astype(jnp.int32)
+    a = tile_start[:-1]  # (T,) first pair of tile
+    b = tile_start[1:]  # (T,) one past last pair
+    w0 = a // chunk  # first window block
+    nwin = jnp.maximum(-(-b // chunk) - w0, 1)  # >= 1 even for empty tiles
+    cum = _cumsum_small(nwin)
+    win_start = cum - nwin
+    total_win = cum[-1]
 
-    sorted_tile, sorted_depth, sorted_gauss = jax.lax.sort(
-        (tile_all, depth_all, gauss_all), num_keys=2)
-    sorted_valid = jnp.isfinite(sorted_depth)
-    slab_tile = jnp.minimum(sorted_tile[0::chunk], num_tiles - 1)
-    return sorted_gauss, sorted_valid, slab_tile, overflow
+    s_cap = nk // chunk + num_tiles + 2
+    slab_tile = jnp.searchsorted(
+        cum, jnp.arange(s_cap, dtype=jnp.int32), side="right",
+        method="scan_unrolled").astype(jnp.int32)  # [0..T]; T = unoccupied
+    t_c = jnp.minimum(slab_tile, num_tiles - 1)
+    k = jnp.arange(s_cap, dtype=jnp.int32) - win_start[t_c]
+    win = w0[t_c] + k  # block index into sorted_payload
+    base = win * chunk
+    lo = jnp.clip(a[t_c] - base, 0, chunk)
+    hi = jnp.clip(b[t_c] - base, 0, chunk)
+
+    # Unoccupied trailing slabs cover the sorted-payload tail blocks
+    # (starting strictly after the last real-covered block) so the
+    # backward pass zeroes every gradient block exactly once.
+    blocks_total = nk // chunk + 1  # sorted_payload has one pad block
+    covered_end = -(-tile_start[num_tiles] // chunk)
+    g_idx = jnp.arange(s_cap, dtype=jnp.int32) - total_win
+    win_g = jnp.minimum(covered_end + g_idx, blocks_total - 1)
+    unoccupied = slab_tile >= num_tiles
+    win = jnp.where(unoccupied, win_g, win)
+    lo = jnp.where(unoccupied, 0, lo)
+    hi = jnp.where(unoccupied, 0, hi)
+    lohi = lo * 256 + hi
+    return sorted_gauss, slab_tile, win, lohi, overflow
 
 
-def _finish_weights(power, op, t_prev, scan_lower):
-    """alpha + transmittance scan from splat power (shared math)."""
-    exp_pneg = jnp.exp(jnp.minimum(power, 0.0))
-    alpha_un = op * exp_pneg
+def _lane_range(lohi):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (PAIR_CHUNK, 1), 0)
+    lo = lohi // 256
+    hi = lohi - lo * 256
+    return (lane >= lo) & (lane < hi)
+
+
+def _splat_weights(block, okl, t_prev, t, tw, scan_lower):
+    """Backward-path recompute: alpha, transmittances, weights, AND the
+    (chunk, PIX) dx/dy blocks the gradient formulas need.
+
+    block: (chunk, F_pad) payload window with column 5 = log(opacity);
+    okl: (chunk, 1) lane-validity mask; t_prev: (1, PIX) transmittance
+    at slab entry.
+    """
+    mx, my = block[:, 0:1], block[:, 1:2]
+    ca, cb, cc = block[:, 2:3], block[:, 3:4], block[:, 4:5]
+    log_op = block[:, 5:6]
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    px = ((pix % TILE) + (t % tw) * TILE).astype(jnp.float32)
+    py = ((pix // TILE) + (t // tw) * TILE).astype(jnp.float32)
+    dx = mx - px  # (chunk, PIX)
+    dy = my - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    alpha_un = jnp.exp(jnp.minimum(power, 0.0) + log_op)
     alpha = jnp.minimum(alpha_un, ALPHA_MAX)
-    alpha = jnp.where((power > 0.0) | (alpha < ALPHA_EPS), 0.0, alpha)
-    return _transmittance(alpha, t_prev, scan_lower,
-                          dict(op=op, power=power, exp_pneg=exp_pneg,
-                               alpha_un=alpha_un))
-
-
-def _transmittance(alpha, t_prev, scan_lower, extra):
+    alpha = jnp.where((power > 0.0) | (alpha < ALPHA_EPS) | ~okl, 0.0,
+                      alpha)
     lg = jnp.log1p(-alpha)
     cum = jax.lax.dot_general(
         scan_lower, lg, (((1,), (0,)), ((), ())),
@@ -166,31 +257,8 @@ def _transmittance(alpha, t_prev, scan_lower, extra):
     incl = jnp.exp(cum) * t_prev  # T after each pair
     excl = incl / (1.0 - alpha)  # T before each pair
     w = jnp.where(incl >= T_EPS, alpha * excl, 0.0)
-    extra.update(alpha=alpha, incl=incl, excl=excl, w=w)
-    return extra
-
-
-def _splat_weights(payload, t_prev, t, tw, scan_lower):
-    """Backward-path recompute: alpha, transmittances, weights, AND the
-    (chunk, PIX) dx/dy blocks the gradient formulas need.
-
-    payload: (F_pad, chunk) block; t_prev: (1, PIX) transmittance at
-    slab entry.
-    """
-    gt = payload[0:GEOM_ROWS, :].T  # (chunk, 8)
-    mx, my = gt[:, 0:1], gt[:, 1:2]
-    ca, cb, cc = gt[:, 2:3], gt[:, 3:4], gt[:, 4:5]
-    op = gt[:, 5:6]
-
-    pix = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
-    px = ((pix % TILE) + (t % tw) * TILE).astype(jnp.float32)
-    py = ((pix // TILE) + (t // tw) * TILE).astype(jnp.float32)
-    dx = mx - px  # (chunk, PIX)
-    dy = my - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    sw = _finish_weights(power, op, t_prev, scan_lower)
-    sw.update(dx=dx, dy=dy, ca=ca, cb=cb, cc=cc)
-    return sw
+    return dict(power=power, alpha_un=alpha_un, alpha=alpha, incl=incl,
+                excl=excl, w=w, dx=dx, dy=dy, ca=ca, cb=cb, cc=cc)
 
 
 # NOTE: a variant evaluating splat power as an MXU monomial-basis
@@ -199,28 +267,42 @@ def _splat_weights(payload, t_prev, t, tw, scan_lower):
 # 128x128 systolic array ~95% idle while adding relayouts.
 
 
-def _splat_weights_fwd(payload, t_prev, t, tw, scan_lower):
-    """Forward-only variant: opacity folded into the splat power in log
-    space (log on a (chunk, 1) column), saving the per-pixel opacity
-    multiply and the power>0 clamps — valid payloads have PD conics
-    (power <= 0) and sanitized/dummy rows have op == 0 (log -> -inf ->
-    alpha 0). Bit-equivalent up to fp reassociation with
-    _splat_weights."""
-    gt = payload[0:GEOM_ROWS, :].T  # (chunk, 8)
-    mx, my = gt[:, 0:1], gt[:, 1:2]
-    ca, cb, cc = gt[:, 2:3], gt[:, 3:4], gt[:, 4:5]
-    log_op = jnp.log(jnp.maximum(gt[:, 5:6], 1e-38))
+def _splat_weights_fwd(block, okl, logt_prev, t, tw, scan_lower):
+    """Forward-only variant, fully in log space.
+
+    Opacity arrives pre-folded as log(op) (payload column 5), the
+    transmittance carry is log T, and the composite weight is ONE exp
+    of (alpha_log + exclusive-scan + log T) — no division, no
+    opacity multiply, no separate exp of the scan. Valid payloads have
+    PD conics (power <= 0) and sanitized rows carry log op ~= -87
+    (alpha -> 0). Matches _splat_weights up to fp reassociation.
+
+    Returns (w (chunk, PIX), new_logt (1, PIX)).
+    """
+    mx, my = block[:, 0:1], block[:, 1:2]
+    ca, cb, cc = block[:, 2:3], block[:, 3:4], block[:, 4:5]
+    log_op = block[:, 5:6]
 
     pix = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
     px = ((pix % TILE) + (t % tw) * TILE).astype(jnp.float32)
     py = ((pix // TILE) + (t // tw) * TILE).astype(jnp.float32)
     dx = mx - px  # (chunk, PIX)
     dy = my - py
-    power = (-0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-             + log_op)
-    alpha = jnp.minimum(jnp.exp(power), ALPHA_MAX)
-    alpha = jnp.where(alpha < ALPHA_EPS, 0.0, alpha)
-    return _transmittance(alpha, t_prev, scan_lower, {})
+    alpha_log = jnp.minimum(
+        -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy + log_op,
+        LOG_ALPHA_MAX,
+    )
+    ok = (alpha_log >= LOG_ALPHA_EPS) & okl
+    alpha = jnp.where(ok, jnp.exp(alpha_log), 0.0)
+    lg = jnp.log1p(-alpha)
+    cum_incl = jax.lax.dot_general(
+        scan_lower, lg, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # inclusive prefix sums of log(1-alpha)
+    cum_excl = cum_incl - lg
+    live = ok & (cum_incl + logt_prev >= LOG_T_EPS)
+    w = jnp.where(live, jnp.exp(alpha_log + cum_excl + logt_prev), 0.0)
+    return w, logt_prev + cum_incl[-1:, :]
 
 
 def _scan_lower():
@@ -230,41 +312,48 @@ def _scan_lower():
     return (cols <= rows).astype(jnp.float32)
 
 
-def _fwd_kernel(st_ref, payload_ref, out_ref, tentry_ref, t_carry,
-                *, n_val: int, tw: int):
+def _fwd_kernel(st_ref, win_ref, lohi_ref, payload_ref, out_ref,
+                tentry_ref, logt_carry, *, n_val: int, tw: int,
+                num_tiles: int):
     s = pl.program_id(0)
     t = st_ref[s]
     prev_t = st_ref[jnp.maximum(s - 1, 0)]
-    first = jnp.logical_or(s == 0, prev_t != t)
+    occupied = t < num_tiles  # trailing unoccupied slabs are skipped
+    first = jnp.logical_and(
+        jnp.logical_or(s == 0, prev_t != t), occupied)
 
     @pl.when(first)
     def _():
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
-        t_carry[...] = jnp.ones(t_carry.shape, t_carry.dtype)
+        logt_carry[...] = jnp.zeros(logt_carry.shape, logt_carry.dtype)
 
-    tentry_ref[0] = t_carry[...]
-    alive = jnp.max(t_carry[...]) >= T_EPS
+    tentry_ref[0] = jnp.exp(logt_carry[...])
+    alive = jnp.logical_and(occupied,
+                            jnp.max(logt_carry[...]) >= LOG_T_EPS)
 
     @pl.when(alive)
     def _():
-        sw = _splat_weights_fwd(payload_ref[...], t_carry[...], t, tw,
-                                _scan_lower())
-        vals = payload_ref[GEOM_ROWS:GEOM_ROWS + n_val, :]  # (n_val, chunk)
+        block = payload_ref[...]  # (chunk, F_pad)
+        okl = _lane_range(lohi_ref[s])
+        w, new_logt = _splat_weights_fwd(
+            block, okl, logt_carry[...], t, tw, _scan_lower())
+        vals = block[:, GEOM_COLS:GEOM_COLS + n_val]  # (chunk, n_val)
         contrib = jax.lax.dot_general(
-            vals, sw["w"], (((1,), (0,)), ((), ())),
+            vals, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (n_val, PIX)
         out_ref[0, 0:n_val, :] += contrib
-        out_ref[0, n_val:n_val + 1, :] += jnp.sum(
-            sw["w"], axis=0, keepdims=True)
-        t_carry[...] = sw["incl"][-1:, :]
+        out_ref[0, n_val:n_val + 1, :] += jnp.sum(w, axis=0, keepdims=True)
+        logt_carry[...] = new_logt
 
 
-def _bwd_kernel(st_ref, payload_ref, g_ref, tentry_ref, dpay_ref, r_carry,
-                *, n_val: int, tw: int, s_count: int, f_pad: int):
+def _bwd_kernel(st_ref, win_ref, lohi_ref, payload_ref, g_ref, tentry_ref,
+                dpay_ref, r_carry, *, n_val: int, tw: int, s_count: int,
+                f_pad: int, num_tiles: int):
     si = pl.program_id(0)
     s = s_count - 1 - si  # reverse traversal
     t = st_ref[s]
+    occupied = t < num_tiles
     nxt_t = st_ref[jnp.minimum(s + 1, s_count - 1)]
     is_tile_tail = jnp.logical_or(s == s_count - 1, nxt_t != t)
 
@@ -272,21 +361,32 @@ def _bwd_kernel(st_ref, payload_ref, g_ref, tentry_ref, dpay_ref, r_carry,
     def _():
         r_carry[...] = jnp.zeros(r_carry.shape, r_carry.dtype)
 
+    # A payload block on a tile boundary is visited by two consecutive
+    # slabs — zero it on first (reverse-order) visit, accumulate after.
+    prev_win = win_ref[jnp.minimum(s + 1, s_count - 1)]
+    new_block = jnp.logical_or(s == s_count - 1, prev_win != win_ref[s])
+
+    @pl.when(new_block)
+    def _():
+        dpay_ref[...] = jnp.zeros(dpay_ref.shape, dpay_ref.dtype)
+
     t_in = tentry_ref[0]  # (1, PIX) transmittance at slab entry
-    alive = jnp.max(t_in) >= T_EPS
+    alive = jnp.logical_and(occupied, jnp.max(t_in) >= T_EPS)
 
     @pl.when(alive)
     def _():
         chunk = PAIR_CHUNK
         scan_lower = _scan_lower()
-        sw = _splat_weights(payload_ref[...], t_in, t, tw, scan_lower)
-        vals = payload_ref[GEOM_ROWS:GEOM_ROWS + n_val, :]
+        block = payload_ref[...]
+        okl = _lane_range(lohi_ref[s])
+        sw = _splat_weights(block, okl, t_in, t, tw, scan_lower)
+        vals = block[:, GEOM_COLS:GEOM_COLS + n_val]  # (chunk, n_val)
         g_vals = g_ref[0, 0:n_val, :]  # (n_val, PIX)
         g_acc = g_ref[0, n_val:n_val + 1, :]  # (1, PIX)
 
         # q_i(p) = dL/dw_i(p) = g(p) . v_i + g_acc(p)
         q = jax.lax.dot_general(
-            vals, g_vals, (((0,), (0,)), ((), ())),
+            vals, g_vals, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + g_acc  # (chunk, PIX)
         qw = q * sw["w"]
@@ -301,9 +401,9 @@ def _bwd_kernel(st_ref, payload_ref, g_ref, tentry_ref, dpay_ref, r_carry,
         dalpha = q * sw["excl"] * keep - suffix / (1.0 - sw["alpha"])
         gate = ((sw["power"] <= 0.0)
                 & (sw["alpha_un"] < ALPHA_MAX)
-                & (sw["alpha_un"] >= ALPHA_EPS)).astype(jnp.float32)
-        dal = dalpha * gate
-        dpow = dal * sw["alpha_un"]
+                & (sw["alpha_un"] >= ALPHA_EPS)
+                & okl).astype(jnp.float32)
+        dpow = dalpha * gate * sw["alpha_un"]
 
         dx, dy = sw["dx"], sw["dy"]
         ca, cb, cc = sw["ca"], sw["cb"], sw["cc"]
@@ -312,48 +412,49 @@ def _bwd_kernel(st_ref, payload_ref, g_ref, tentry_ref, dpay_ref, r_carry,
         d_a = jnp.sum(dpow * (-0.5) * dx * dx, axis=1, keepdims=True)
         d_b = jnp.sum(dpow * -(dx * dy), axis=1, keepdims=True)
         d_c = jnp.sum(dpow * (-0.5) * dy * dy, axis=1, keepdims=True)
-        d_op = jnp.sum(dal * sw["exp_pneg"], axis=1, keepdims=True)
+        # payload column 5 is log(op): d alpha_un / d log_op = alpha_un,
+        # so d_logop is just the row-sum of dpow.
+        d_logop = jnp.sum(dpow, axis=1, keepdims=True)
         zc = jnp.zeros_like(dmx)
-        dgeom = jnp.concatenate(
-            [dmx, dmy, d_a, d_b, d_c, d_op, zc, zc], axis=1)  # (chunk, 8)
 
         dvals = jax.lax.dot_general(
-            g_vals, sw["w"], (((1,), (1,)), ((), ())),
+            sw["w"], g_vals, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (n_val, chunk)
+        )  # (chunk, n_val)
 
-        parts = [dgeom.T, dvals]
-        pad_rows = f_pad - GEOM_ROWS - n_val
-        if pad_rows:
-            parts.append(jnp.zeros((pad_rows, chunk), jnp.float32))
-        dpay_ref[...] = jnp.concatenate(parts, axis=0)
+        parts = [dmx, dmy, d_a, d_b, d_c, d_logop, zc, zc, dvals]
+        pad_cols = f_pad - GEOM_COLS - n_val
+        if pad_cols:
+            parts.append(jnp.zeros((chunk, pad_cols), jnp.float32))
+        dpay_ref[...] += jnp.concatenate(parts, axis=1)
         r_carry[...] = r_carry[...] + s_tot
 
-    @pl.when(jnp.logical_not(alive))
-    def _():
-        dpay_ref[...] = jnp.zeros(dpay_ref.shape, dpay_ref.dtype)
 
-
-def _forward_impl(payload_t, slab_tile, *, num_tiles, tw, n_val, interpret):
-    f_pad, p_pad = payload_t.shape
-    s_count = p_pad // PAIR_CHUNK
+def _forward_impl(sorted_payload, slab_tile, win, lohi, *, num_tiles, tw,
+                  n_val, interpret):
+    p_rows, f_pad = sorted_payload.shape
+    s_count = slab_tile.shape[0]
     c_out = n_val + 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(s_count,),
         in_specs=[
-            pl.BlockSpec((f_pad, PAIR_CHUNK), lambda s, st: (0, s),
+            pl.BlockSpec((PAIR_CHUNK, f_pad),
+                         lambda s, st, wn, lh: (wn[s], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, c_out, PIX), lambda s, st: (st[s], 0, 0),
+            pl.BlockSpec((1, c_out, PIX),
+                         lambda s, st, wn, lh: (
+                             jnp.minimum(st[s], num_tiles - 1), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PIX), lambda s, st: (s, 0, 0),
+            pl.BlockSpec((1, 1, PIX), lambda s, st, wn, lh: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((1, PIX), jnp.float32)],
     )
-    kernel = functools.partial(_fwd_kernel, n_val=n_val, tw=tw)
+    kernel = functools.partial(_fwd_kernel, n_val=n_val, tw=tw,
+                               num_tiles=num_tiles)
     return pl.pallas_call(
         kernel,
         out_shape=[
@@ -364,71 +465,78 @@ def _forward_impl(payload_t, slab_tile, *, num_tiles, tw, n_val, interpret):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(slab_tile, payload_t)
+    )(slab_tile, win, lohi, sorted_payload)
 
 
-def _backward_impl(payload_t, slab_tile, t_entry, g, *, num_tiles, tw,
-                   n_val, interpret):
-    f_pad, p_pad = payload_t.shape
-    s_count = p_pad // PAIR_CHUNK
+def _backward_impl(sorted_payload, slab_tile, win, lohi, t_entry, g, *,
+                   num_tiles, tw, n_val, interpret):
+    p_rows, f_pad = sorted_payload.shape
+    s_count = slab_tile.shape[0]
     c_out = n_val + 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(s_count,),
         in_specs=[
-            pl.BlockSpec((f_pad, PAIR_CHUNK),
-                         lambda si, st: (0, s_count - 1 - si),
+            pl.BlockSpec((PAIR_CHUNK, f_pad),
+                         lambda si, st, wn, lh: (wn[s_count - 1 - si], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c_out, PIX),
-                         lambda si, st: (st[s_count - 1 - si], 0, 0),
+                         lambda si, st, wn, lh: (
+                             jnp.minimum(st[s_count - 1 - si],
+                                         num_tiles - 1), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PIX), lambda si, st: (s_count - 1 - si, 0, 0),
+            pl.BlockSpec((1, 1, PIX),
+                         lambda si, st, wn, lh: (s_count - 1 - si, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((f_pad, PAIR_CHUNK),
-                               lambda si, st: (0, s_count - 1 - si),
+        out_specs=pl.BlockSpec((PAIR_CHUNK, f_pad),
+                               lambda si, st, wn, lh: (
+                                   wn[s_count - 1 - si], 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, PIX), jnp.float32)],
     )
     kernel = functools.partial(_bwd_kernel, n_val=n_val, tw=tw,
-                               s_count=s_count, f_pad=f_pad)
+                               s_count=s_count, f_pad=f_pad,
+                               num_tiles=num_tiles)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((f_pad, p_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((p_rows, f_pad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(slab_tile, payload_t, g, t_entry)
+    )(slab_tile, win, lohi, sorted_payload, g, t_entry)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def pallas_composite(static_cfg, payload_t, slab_tile):
-    """Composite slabs -> (num_tiles, n_val + 1, 256) accumulations.
+def pallas_composite(static_cfg, sorted_payload, slab_tile, win, lohi):
+    """Composite windows -> (num_tiles, n_val + 1, 256) accumulations.
 
     static_cfg = (num_tiles, tw, n_val, interpret). Differentiable in
-    payload_t via the Pallas backward kernel.
+    sorted_payload via the Pallas backward kernel.
     """
     num_tiles, tw, n_val, interpret = static_cfg
-    out, _ = _forward_impl(payload_t, slab_tile, num_tiles=num_tiles,
-                           tw=tw, n_val=n_val, interpret=interpret)
+    out, _ = _forward_impl(sorted_payload, slab_tile, win, lohi,
+                           num_tiles=num_tiles, tw=tw, n_val=n_val,
+                           interpret=interpret)
     return out
 
 
-def _pc_fwd(static_cfg, payload_t, slab_tile):
+def _pc_fwd(static_cfg, sorted_payload, slab_tile, win, lohi):
     num_tiles, tw, n_val, interpret = static_cfg
-    out, t_entry = _forward_impl(payload_t, slab_tile, num_tiles=num_tiles,
-                                 tw=tw, n_val=n_val, interpret=interpret)
-    return out, (payload_t, slab_tile, t_entry)
+    out, t_entry = _forward_impl(sorted_payload, slab_tile, win, lohi,
+                                 num_tiles=num_tiles, tw=tw, n_val=n_val,
+                                 interpret=interpret)
+    return out, (sorted_payload, slab_tile, win, lohi, t_entry)
 
 
 def _pc_bwd(static_cfg, res, g):
     num_tiles, tw, n_val, interpret = static_cfg
-    payload_t, slab_tile, t_entry = res
-    dpay = _backward_impl(payload_t, slab_tile, t_entry, g,
+    sorted_payload, slab_tile, win, lohi, t_entry = res
+    dpay = _backward_impl(sorted_payload, slab_tile, win, lohi, t_entry, g,
                           num_tiles=num_tiles, tw=tw, n_val=n_val,
                           interpret=interpret)
-    return dpay, None
+    return dpay, None, None, None
 
 
 pallas_composite.defvjp(_pc_fwd, _pc_bwd)
@@ -450,14 +558,17 @@ def rasterize_tiled_pallas(
     """
     th, tw = _tile_grid(image_height, image_width)
     num_tiles = th * tw
-    sorted_gauss, sorted_valid, slab_tile, overflow = build_padded_pairs(
+    sorted_gauss, slab_tile, win, lohi, overflow = build_window_layout(
         proj, image_height, image_width, cfg)
 
     n = proj.mean2d.shape[0]
     # Sanitized per-gaussian payload (invalid rows zeroed: keeps garbage
     # projections from poisoning exp() and blocks their gradients).
+    # Column 5 carries log(opacity): the kernels work in log space, and
+    # the log's VJP (1/op chain) happens here in XLA, outside the kernel.
     vmask = proj.valid
     opacity = jnp.where(vmask, proj.opacity, 0.0)
+    log_op = jnp.log(jnp.maximum(opacity, 1e-38))
     mean2d = jnp.where(vmask[:, None], proj.mean2d, 0.0)
     conic = jnp.where(vmask[:, None], proj.conic, 0.0)
     val_cols = [proj.color]
@@ -466,22 +577,23 @@ def rasterize_tiled_pallas(
     val_cols.append(proj.depth[:, None])
     vals = jnp.concatenate(val_cols, axis=1)
     n_val = vals.shape[1]
-    payload = jnp.concatenate(
-        [mean2d, conic, opacity[:, None],
-         jnp.zeros((n, 2), mean2d.dtype), vals], axis=1)  # (N, 8 + n_val)
-
-    gathered = payload[sorted_gauss]  # (P_pad, F) — the one big gather
-    # dummy slots must not splat: zero their opacity column
-    op_col = jnp.where(sorted_valid, gathered[:, 5], 0.0)
-    gathered = jnp.concatenate(
-        [gathered[:, :5], op_col[:, None], gathered[:, 6:]], axis=1)
-
-    f = payload.shape[1]
+    f = GEOM_COLS + n_val
     f_pad = -(-f // 8) * 8
-    payload_t = jnp.pad(gathered.T, ((0, f_pad - f), (0, 0)))
+    payload = jnp.concatenate(
+        [mean2d, conic, log_op[:, None],
+         jnp.zeros((n, 2), mean2d.dtype), vals,
+         jnp.zeros((n, f_pad - f), mean2d.dtype)], axis=1)  # (N, f_pad)
+
+    sorted_payload = payload[sorted_gauss]  # (N*K, f_pad) — the one gather
+    # one zero pad block: windows may extend past the last pair; padding
+    # rows are outside every [lo, hi) lane range anyway.
+    sorted_payload = jnp.concatenate(
+        [sorted_payload,
+         jnp.zeros((PAIR_CHUNK, f_pad), sorted_payload.dtype)], axis=0)
 
     out = pallas_composite(
-        (num_tiles, tw, n_val, interpret), payload_t, slab_tile
+        (num_tiles, tw, n_val, interpret), sorted_payload, slab_tile,
+        win, lohi
     )  # (T, n_val + 1, PIX)
 
     acc = out[:, n_val, :]
