@@ -46,6 +46,18 @@ class RasterConfig(NamedTuple):
     pairs_per_gaussian: int = 8  # pair buffer capacity = N * this
     max_per_tile: int = 1024  # K: gaussians composited per tile
     tile_batch: int = 32  # tiles composited per remat batch
+    # Drop (gaussian, tile) pairs whose best-case alpha over the tile is
+    # below the 1/255 cutoff (exact: the kernel zeroes them anyway).
+    # Off by default: measured on both isotropic and trained-like
+    # anisotropic 100k scenes, the ~1 ms of bound math exceeds the
+    # compositing saved — the aspect-balanced K-budget truncation
+    # already drops the far tiles. Worth enabling for scenes with very
+    # large splats or heavy overdraw. Pallas backend only.
+    alpha_cull: bool = False
+    # Tiles per mega-step of the Pallas group kernels (amortizes the
+    # ~0.5 us/step sequential-grid overhead; bounds the VMEM out block
+    # at group * (n_val+1) * 256 * 4 bytes).
+    tile_group: int = 16
 
 
 def _tile_grid(image_height: int, image_width: int):
