@@ -92,71 +92,75 @@ class TestPallasForward:
 
 class TestWindowLayout:
     def test_coverage_invariants(self):
-        """Every tile's sorted-pair range is covered exactly once by its
-        windows; lane ranges are consistent; unoccupied slabs cover the
-        payload tail blocks without touching real-covered blocks."""
+        """Padded-aligned layout: block w IS window w; each window
+        belongs to one tile; per-tile slots are depth-ordered valid
+        pairs followed by dead-row padding; bookkeeping arrays agree."""
         H, W = 64, 96
         cam = make_camera(H, W)
         means, scales, quats, colors, opac, _ = random_scene(300, 11)
         proj = project(means, scales, quats, colors, opac, cam, H, W)
         cfg = R.RasterConfig(pairs_per_gaussian=8, max_per_tile=256,
                              tile_batch=4)
-        sorted_gauss, layout, overflow = (
-            RP.build_window_layout(proj, H, W, cfg))
+        sorted_gauss, src_slot, layout, overflow = RP.build_window_layout(
+            proj, H, W, cfg)
+        n_ = proj.mean2d.shape[0]
+        sg_ext = jnp.concatenate(
+            [sorted_gauss, jnp.full((1,), n_, sorted_gauss.dtype)])
+        sg_pad = sg_ext[src_slot]
         chunk = RP.PAIR_CHUNK
         th, tw = R._tile_grid(H, W)
         num_tiles = th * tw
         n = proj.mean2d.shape[0]
         nk = n * cfg.pairs_per_gaussian
 
-        st = np.asarray(layout.slab_tile)
-        wn = np.asarray(layout.win)
-        lh = np.asarray(layout.lohi)
         mt = np.asarray(layout.meta_t)
         ws = np.asarray(layout.win_start)
         gs = np.asarray(layout.group_start)
-        lo, hi = lh // 256, lh % 256
-        occ = st < num_tiles
-
-        # group/window bookkeeping consistency
         total_win = int(np.asarray(layout.total_win))
-        assert total_win == occ.sum()
-        assert gs[-1] == total_win and gs[0] == 0
-        assert (np.diff(gs) >= 0).all()
-        # each occupied window's meta matches its slab tile; exactly one
-        # first-flag per tile, at win_start
-        assert (mt[occ] // 2 == st[occ]).all()
-        firsts = np.flatnonzero(mt % 2 == 1)
-        assert len(firsts) == num_tiles
-        np.testing.assert_array_equal(firsts, np.sort(ws[:num_tiles]))
+        s_cap = mt.shape[0]
+        sg = np.asarray(sg_pad).reshape(s_cap, chunk)
 
-        # slab tiles are sorted; occupied prefix, then sentinel
-        assert (np.diff(st) >= 0).all()
-        # every tile appears at least once (empty tiles get a window)
-        assert set(range(num_tiles)) <= set(st[occ].tolist())
-        # lane ranges in bounds; unoccupied slabs have empty ranges
-        assert (lo <= hi).all() and (hi <= chunk).all()
-        assert (lo[~occ] == 0).all() and (hi[~occ] == 0).all()
+        # bookkeeping: win_start nondecreasing, capped at total_win;
+        # group_start is its stride view
+        assert ws[0] == 0 and ws[num_tiles] == total_win
+        assert (np.diff(ws) >= 0).all()
+        group = max(int(cfg.tile_group), 1)
+        np.testing.assert_array_equal(gs, ws[::group])
+        assert gs[-1] == total_win
 
-        # per-tile coverage: union of [win*chunk+lo, win*chunk+hi) over
-        # a tile's slabs == its contiguous sorted-pair range, disjointly
-        covered = np.zeros(nk + chunk, np.int32)
-        for s in range(len(st)):
-            if occ[s]:
-                covered[wn[s] * chunk + lo[s]:wn[s] * chunk + hi[s]] += 1
-        # depth-sorted gaussians of valid pairs covered exactly once
-        valid_total = covered.sum()
-        assert (covered <= 1).all()
-        # contiguous prefix property: covered pairs are exactly the
-        # pairs whose sort key was a real tile
-        blocks_total = nk // chunk + 1
-        assert (wn <= blocks_total - 1).all() and (wn >= 0).all()
-        # unoccupied windows sit strictly after the last covered block
-        if occ.any() and (~occ).any():
-            last_real_block = wn[occ].max()
-            cov_end = int(np.flatnonzero(covered).max()) // chunk \
-                if valid_total else 0
-            assert wn[~occ].min() >= cov_end
+        # meta: occupied windows carry their tile + a first flag exactly
+        # at the tile's window start; tail windows carry the sentinel
+        for w in range(s_cap):
+            if w < total_win:
+                t = int(np.searchsorted(ws[1:num_tiles + 1], w,
+                                        side="right"))
+                assert mt[w] // 2 == t
+                assert (mt[w] % 2 == 1) == (w == ws[t])
+            else:
+                assert mt[w] == num_tiles * 2
+
+        # slots: values in [0, n]; per tile, valid slots form a prefix
+        # of its window span and are depth-ordered (quantized key);
+        # everything past total_win is dead
+        assert sg.min() >= 0 and sg.max() <= n
+        assert (sg[total_win:] == n).all()
+        depth = np.asarray(proj.depth)
+        per_gauss_count = np.zeros(n + 1, np.int64)
+        for t in range(num_tiles):
+            span = sg[ws[t]:ws[t + 1]].ravel()
+            valid = span != n
+            k = valid.sum()
+            assert valid[:k].all() and not valid[k:].any(), \
+                "padding must be a suffix"
+            d = depth[span[:k]]
+            # depth-ordering up to the 19-bit quantization granularity
+            dmin, dmax = depth.min(), depth.max()
+            quantum = (dmax - dmin) / ((1 << RP.DEPTH_BITS) - 1)
+            assert (np.diff(d) >= -1.5 * quantum).all()
+            np.add.at(per_gauss_count, span[:k], 1)
+        # no gaussian binned more than its K pair budget
+        assert per_gauss_count[:n].max() <= cfg.pairs_per_gaussian
+        assert per_gauss_count.sum() <= nk
 
     def test_bf16_deform_close(self):
         from trase_tpu.models.deform import (

@@ -7,64 +7,69 @@ projection / tile-binning stages stay in XLA (ops/projection.py,
 build_window_layout below); these kernels replace the dense jnp
 compositor (ops/rasterize.py:_composite_tiles) on the hot path.
 
-Design — *window grid* over the depth-sorted pair array:
+Design — *aligned window grid* over the sorted pair array:
 
-- Pairs (gaussian, tile) are emitted in front-to-back gaussian order
-  (one N-sized depth presort) and grouped per tile by ONE single-key
-  stable sort on tile id. The per-gaussian payload — 8 geometry rows
-  [mean2d(2), conic(3), log opacity, 0, 0] + value channels
-  [rgb, (feat32), depth] — is gathered once into pair order and stored
-  TRANSPOSED: sorted_payload (F_pad, N*K + chunk), pairs in lanes.
-  Manual-DMA HBM slices must be 128-lane aligned on the minor dim; the
-  transposed layout makes every window block a native
-  (F_pad, 128) lane slice at a 128-aligned offset.
-- Each tile's pair range [A, B) is covered by 128-aligned windows
-  ("slabs") of sorted_payload lanes. The kernels read window blocks
-  DIRECTLY via double-buffered manual DMA driven by a scalar-prefetched
-  block-index array — no slab relayout, no second gather, no
-  transposes. Lanes outside the tile's [lo, hi) range within a window
-  are masked in-kernel (they belong to neighboring tiles). Empty tiles
-  get one degenerate window (lo == hi) so their output block is still
-  zeroed; trailing unoccupied slabs carry a `num_tiles` sentinel and
-  are skipped.
+- Pairs (gaussian, tile) are ordered by ONE unstable u32 sort on the
+  composite key `tile << 19 | quantized_depth` (the CUDA rasterizer's
+  radix-key trick): grouped per tile, front-to-back within the tile,
+  no separate depth presort. 19 depth bits (~5e5 levels over the
+  frame's depth range) make order violations vanishingly rare and
+  visually irrelevant.
+- Each tile's pair range is PADDED to a multiple of 128 when the
+  per-slot gather indices are built, so every window ("slab") of 128
+  pairs belongs to exactly ONE tile and payload block w IS window w:
+  no boundary revisits, no lane-range masks — padding slots point at a
+  dead payload row whose log-opacity is -87 (alpha == 0), making them
+  inert in both passes.
+- The per-gaussian payload — 8 geometry rows [mean2d(2), conic(3),
+  log opacity, ONE, pad] + value rows [rgb, (feat32), depth] — is
+  gathered once into padded-slot order and stored TRANSPOSED:
+  sorted_payload (F_pad, S_cap * 128), pairs in lanes. Manual-DMA HBM
+  slices must be 128-lane aligned on the minor dim; this layout makes
+  every window a native (F_pad, 128) lane slice at an aligned offset.
 - Grid = one program per *group* of `cfg.tile_group` consecutive
-  tiles; an inner fori_loop walks the group's windows (amortizes the
-  ~0.5 us/step sequential-grid overhead over ~dozens of windows).
-  Per-tile state (log-space transmittance carry) lives in VMEM
-  scratch; the group's (group, PIX, c_out) output accumulates in the
-  VMEM out block with dynamic per-tile indexing.
+  tiles; an inner fori_loop walks the group's windows with a 4-deep
+  manually double-buffered DMA pipeline (amortizes the ~0.5 us/step
+  sequential-grid overhead and hides DMA latency). Per-tile state
+  (log-space transmittance carry) lives in VMEM scratch; the group's
+  (group, PIX, c_out) output accumulates in the VMEM out block.
 - All in-kernel math is in the transposed (PIX=256 sublanes,
-  chunk=128 lanes) layout: splat power is direct VPU algebra; the
-  front-to-back transmittance scan is ONE (256,128)x(128,128) MXU
-  matmul of log(1-alpha) against an upper-triangular ones matrix;
-  channel accumulation, lane totals, and every pixel-reduction in the
-  backward are MXU matmuls too — no cross-lane shuffles anywhere.
-  The composite weight is a single exp of (log alpha + exclusive scan
-  + log T) — no division. Early-out skips compute (not DMA) once every
-  pixel in the tile saturates (T < 1e-4), matching the CUDA kernel's
-  termination rule.
+  chunk=128 lanes) layout, and the splat quadratic is evaluated ON THE
+  MXU: per-pair monomial coefficients in TILE-LOCAL coordinates (six
+  (1,128) lane rows, a dozen VPU ops) are contracted against a
+  constant (256, 8) monomial basis [1, x, y, x^2, xy, y^2, 0, 0] —
+  one matmul replaces the per-pixel quadratic-form algebra, and local
+  coords keep the expansion numerically tight. The front-to-back
+  transmittance scan is one (256,128)x(128,128) matmul of log(1-alpha)
+  against an upper-triangular ones matrix; channel accumulation folds
+  the alpha total in via a constant ONE payload row (c_out = [acc,
+  values...]); every pixel reduction in the backward is an MXU matmul
+  too. The composite weight is a single exp of (log alpha +
+  exclusive-scan + log T) — no division. Early-out skips compute (not
+  DMA) once every pixel in the tile saturates (T < 1e-4), matching the
+  CUDA kernel's termination rule.
 
 Backward (custom_vjp): a linear *visit* stream walks each tile's
 windows twice (pass 1: per-pixel total S = sum q w and transmittance
 recompute; pass 2: gradients via the forward-prefix form
 R_i = S - prefix_i of the suffix accumulator), so no reverse sweep and
-no saved per-slab state are needed. Exact gradients for mean2d /
-conic / log-opacity / values:
+no saved per-slab state are needed. Exact gradients:
 
     dL/dv_i      = sum_p g(p) w_i(p)
     dL/dalpha_i  = q_i T_i [keep] - R_i / (1 - alpha_i)
     dL/dpower    = dL/dalpha * alpha        (gated by the clamp/cutoffs)
-    dL/dlog_op   = row-sum of dL/dpower
 
-Gradient blocks accumulate in double-buffered VMEM and flush to HBM by
-manual DMA when the payload block advances; window blocks shared by
-two tiles accumulate across the (consecutive) revisits, and a block
-shared across a *group* boundary is read-modify-written (rmw flag).
-The screen-space mean gradient required by densification (reference
+are pulled back through the monomial evaluation with ONE
+basis^T @ dpower matmul — the six coefficient gradients then chain to
+mean2d / conic / log-opacity on (1,128) lane rows. With blocks 1:1 to
+windows, each pass-2 window DMAs its own gradient block straight out
+(double-buffered, no read-modify-write, no cross-group sharing). The
+screen-space mean gradient required by densification (reference
 train.py:366, scene/gaussian_model.py:637-639) flows through the
-mean2d rows. Gradients land on sorted_payload; XLA autodiff transposes
-the payload gather into the scatter-add over gaussians (the moral
-equivalent of the CUDA backward's atomics).
+mean2d rows. The custom-VJP boundary includes the payload gather, so
+its transpose (the scatter-add over gaussians — the moral equivalent
+of the CUDA backward's atomics) is an implementation choice inside
+`_pc_bwd`.
 """
 from __future__ import annotations
 
@@ -82,8 +87,10 @@ from .rasterize import TILE, RasterConfig, _tile_grid, _tile_rects
 from .rasterize_ref import ALPHA_EPS, ALPHA_MAX, T_EPS
 
 PAIR_CHUNK = 128  # window width = lane count
-GEOM_COLS = 8  # mean2d(2) + conic(3) + log opacity(1) + pad(2)
+GEOM_COLS = 8  # mean2d(2) + conic(3) + log opacity(1) + one(1) + pad(1)
 PIX = TILE * TILE  # 256
+DEPTH_BITS = 19  # depth quantization inside the u32 sort key
+NBUF = 4  # payload DMA pipeline depth
 
 LOG_ALPHA_MAX = float(np.log(ALPHA_MAX))
 LOG_ALPHA_EPS = float(np.log(ALPHA_EPS))
@@ -119,28 +126,39 @@ def _cumsum_small(x: jnp.ndarray) -> jnp.ndarray:
     return (row_cum + offs[:, None]).reshape(-1)[:n].astype(jnp.int32)
 
 
+class WindowLayout(NamedTuple):
+    """Static-shape binning metadata shared by the kernels (all int32)."""
+
+    meta_t: jnp.ndarray  # (S_cap,) tile*2 + first-window-of-tile flag
+    win_start: jnp.ndarray  # (T_gpad+1,) first window of each tile
+    group_start: jnp.ndarray  # (ngroups+1,) first window of each group
+    total_win: jnp.ndarray  # () number of occupied windows
+
+
 def build_window_layout(proj: ProjectedGaussians, image_height: int,
                         image_width: int, cfg: RasterConfig):
-    """Fixed-K pair expansion + depth-ordered per-tile window layout.
+    """Fixed-K pair expansion + aligned per-tile window layout.
 
     Each gaussian emits up to K = cfg.pairs_per_gaussian (tile, gauss)
     pairs, row-major over its covered tile rect (CUDA getRect
-    semantics); rects larger than K tiles are truncated and the dropped
-    pair count reported as `overflow`.
+    semantics); rects larger than K tiles shrink to an aspect-balanced
+    sub-rect centered on the projected mean and the dropped pair count
+    is reported as `overflow`.
 
-    Depth ordering comes from a cheap N-sized presort (gaussians ranked
-    by view depth), after which ONE single-key *stable* sort on tile id
-    groups pairs per tile while preserving front-to-back order. Each
-    tile's sorted-pair range [A, B) is then covered by PAIR_CHUNK-
-    aligned windows; per window the valid lane range [lo, hi) is pure
-    index arithmetic — no scatter histogram, no slab-relayout gather.
+    Ordering comes from ONE unstable u32 sort on the composite key
+    `tile << DEPTH_BITS | quantized_depth` — grouped by tile,
+    front-to-back within each tile. Each tile's sorted range is padded
+    to a PAIR_CHUNK multiple by the slot map `src_slot` (slot_cap =
+    S_cap * chunk,): slot q of window w holds the index INTO THE
+    SORTED PAIR ARRAY of its pair, or nk for padding slots (the
+    composite stage appends a dead row there). Payload block w
+    therefore IS window w: the kernels need only per-window tile
+    metadata and per-group window ranges. Both returned index arrays
+    are pure arithmetic + one rank gather — the expensive payload
+    relayout happens once, inside pallas_composite.
 
-    Returns (sorted_gauss (N*K,), WindowLayout, overflow) with
-    S = N*K//chunk + num_tiles + 2 windows. `slab_tile` holds
-    `num_tiles` for unoccupied trailing slabs (the kernels skip those);
-    their `win` entries cover the sorted-payload tail blocks so the
-    backward kernel zeroes every gradient block exactly once. `lohi`
-    packs the lane range as lo * 256 + hi.
+    Returns (sorted_gauss (nk,), src_slot (slot_cap,), WindowLayout,
+    overflow).
     """
     chunk = PAIR_CHUNK
     th, tw = _tile_grid(image_height, image_width)
@@ -152,10 +170,9 @@ def build_window_layout(proj: ProjectedGaussians, image_height: int,
     tx0, ty0, rect_w, count = _tile_rects(proj, th, tw)
     rect_h = count // jnp.maximum(rect_w, 1)
 
-    # Rects larger than K tiles shrink to an aspect-balanced sub-rect
-    # centered on the projected mean — the dropped tiles are the
-    # farthest (weakest) ones, bounding the quality cost of the static
-    # per-gaussian pair budget.
+    # Aspect-balanced truncation of oversized rects: the dropped tiles
+    # are the farthest (weakest) ones, bounding the quality cost of
+    # the static per-gaussian pair budget.
     w_f = jnp.maximum(rect_w, 1).astype(jnp.float32)
     h_f = jnp.maximum(rect_h, 1).astype(jnp.float32)
     ideal_w = jnp.sqrt(K * w_f / h_f)
@@ -173,21 +190,13 @@ def build_window_layout(proj: ProjectedGaussians, image_height: int,
     x0 = jnp.clip(ct_x - w2 // 2, tx0, tx0 + jnp.maximum(rect_w - w2, 0))
     y0 = jnp.clip(ct_y - h2 // 2, ty0, ty0 + jnp.maximum(rect_h - h2, 0))
 
-    # Depth presort at N; ONE packed gather reorders the rect data.
-    depth_key = jnp.where(count2 > 0, proj.depth, jnp.inf)
-    _, order = jax.lax.sort(
-        (depth_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
-    packed = jnp.stack([x0, y0, jnp.maximum(w2, 1), count2], axis=1)[order]
-    x0_r, y0_r, w2_r, c2_r = (packed[:, 0], packed[:, 1], packed[:, 2],
-                              packed[:, 3])
-
     ks = jnp.arange(K, dtype=jnp.int32)[None, :]  # (1, K)
-    dx = ks % w2_r[:, None]
-    dy = ks // w2_r[:, None]
-    tile_x = x0_r[:, None] + dx  # (N, K)
-    tile_y = y0_r[:, None] + dy
+    dxk = ks % w2[:, None]
+    dyk = ks // w2[:, None]
+    tile_x = x0[:, None] + dxk  # (N, K)
+    tile_y = y0[:, None] + dyk
     tile = (tile_y * tw + tile_x).astype(jnp.int32)
-    pvalid = ks < c2_r[:, None]
+    pvalid = ks < count2[:, None]
 
     if cfg.alpha_cull:
         # Exact tile-level alpha culling: a pair whose best-case alpha
@@ -199,86 +208,74 @@ def build_window_layout(proj: ProjectedGaussians, image_height: int,
         mid = 0.5 * (ca + cc)
         lam_min = mid - jnp.sqrt(jnp.maximum(
             (0.5 * (ca - cc)) ** 2 + cb * cb, 0.0))
-        lam_min = jnp.maximum(lam_min, 0.0)
+        lam_min = jnp.maximum(lam_min, 0.0)[:, None]
         log_opc = jnp.log(jnp.maximum(
-            jnp.where(proj.valid, proj.opacity, 0.0), 1e-38))
-        packed_f = jnp.stack(
-            [proj.mean2d[:, 0], proj.mean2d[:, 1], lam_min, log_opc],
-            axis=1)[order]  # one rank-order gather
-        mx_r = packed_f[:, 0:1]
-        my_r = packed_f[:, 1:2]
-        lam_r = packed_f[:, 2:3]
-        logop_r = packed_f[:, 3:4]
+            jnp.where(proj.valid, proj.opacity, 0.0), 1e-38))[:, None]
+        mx = proj.mean2d[:, 0:1]
+        my = proj.mean2d[:, 1:2]
         rx0 = tile_x.astype(jnp.float32) * TILE
         ry0 = tile_y.astype(jnp.float32) * TILE
-        ddx = jnp.clip(mx_r, rx0, rx0 + (TILE - 1)) - mx_r
-        ddy = jnp.clip(my_r, ry0, ry0 + (TILE - 1)) - my_r
-        max_alpha_log = logop_r - 0.5 * lam_r * (ddx * ddx + ddy * ddy)
+        ddx = jnp.clip(mx, rx0, rx0 + (TILE - 1)) - mx
+        ddy = jnp.clip(my, ry0, ry0 + (TILE - 1)) - my
+        max_alpha_log = log_opc - 0.5 * lam_min * (ddx * ddx + ddy * ddy)
         pvalid = pvalid & (max_alpha_log >= LOG_ALPHA_EPS)
 
-    tile = jnp.where(pvalid, tile, num_tiles)
-    gauss = jnp.broadcast_to(order[:, None], (n, K))
-
-    # Stable single-key sort: groups by tile, preserves depth order.
-    sorted_tile, sorted_gauss = jax.lax.sort(
-        (tile.ravel(), gauss.ravel()), num_keys=1, is_stable=True)
+    # Composite sort key: tile in the high bits, quantized view depth
+    # in the low bits (front-to-back within each tile). Invalid pairs
+    # get the num_tiles sentinel and sort to the tail.
+    dvalid = count2 > 0
+    depth = proj.depth
+    dmin = jnp.min(jnp.where(dvalid, depth, jnp.inf))
+    dmax = jnp.max(jnp.where(dvalid, depth, -jnp.inf))
+    dscale = ((1 << DEPTH_BITS) - 1) / jnp.maximum(dmax - dmin, 1e-9)
+    dq = jnp.clip((depth - dmin) * dscale, 0.0,
+                  float((1 << DEPTH_BITS) - 1)).astype(jnp.uint32)
+    key = (tile.astype(jnp.uint32) << DEPTH_BITS) | dq[:, None]
+    key = jnp.where(pvalid, key,
+                    jnp.uint32(num_tiles) << DEPTH_BITS)
+    gauss = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, K))
+    sorted_key, sorted_gauss = jax.lax.sort(
+        (key.ravel(), gauss.ravel()), num_keys=1)
+    sorted_tile = (sorted_key >> DEPTH_BITS).astype(jnp.int32)
 
     tile_start = jnp.searchsorted(
         sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
         side="left", method="scan_unrolled").astype(jnp.int32)
     a = tile_start[:-1]  # (T,) first pair of tile
     b = tile_start[1:]  # (T,) one past last pair
-    w0 = a // chunk  # first window block
-    nwin = jnp.maximum(-(-b // chunk) - w0, 1)  # >= 1 even for empty tiles
-    cum = _cumsum_small(nwin)
-    win_start = cum - nwin
-    total_win = cum[-1]
+    wcount = -(-(b - a) // chunk)  # windows per tile; 0 for empty tiles
+    cumw = _cumsum_small(wcount)
+    wstart = cumw - wcount
+    total_win = cumw[-1]
 
     s_cap = nk // chunk + num_tiles + 2
-    slab_tile = jnp.searchsorted(
-        cum, jnp.arange(s_cap, dtype=jnp.int32), side="right",
-        method="scan_unrolled").astype(jnp.int32)  # [0..T]; T = unoccupied
-    t_c = jnp.minimum(slab_tile, num_tiles - 1)
-    k = jnp.arange(s_cap, dtype=jnp.int32) - win_start[t_c]
-    win = w0[t_c] + k  # block index into sorted_payload
-    base = win * chunk
-    lo = jnp.clip(a[t_c] - base, 0, chunk)
-    hi = jnp.clip(b[t_c] - base, 0, chunk)
+    widx = jnp.arange(s_cap, dtype=jnp.int32)
+    wt = jnp.searchsorted(cumw, widx, side="right",
+                          method="scan_unrolled").astype(jnp.int32)
+    wt_c = jnp.minimum(wt, num_tiles - 1)
+    in_range = widx < total_win
+    first = (widx == wstart[wt_c]) & in_range
+    meta_t = jnp.where(in_range, wt_c * 2 + first.astype(jnp.int32),
+                       num_tiles * 2)
 
-    # Unoccupied trailing slabs cover the sorted-payload tail blocks
-    # (starting strictly after the last real-covered block) so the
-    # backward pass zeroes every gradient block exactly once.
-    blocks_total = nk // chunk + 1  # sorted_payload has one pad block
-    covered_end = -(-tile_start[num_tiles] // chunk)
-    g_idx = jnp.arange(s_cap, dtype=jnp.int32) - total_win
-    win_g = jnp.minimum(covered_end + g_idx, blocks_total - 1)
-    unoccupied = slab_tile >= num_tiles
-    win = jnp.where(unoccupied, win_g, win)
-    lo = jnp.where(unoccupied, 0, lo)
-    hi = jnp.where(unoccupied, 0, hi)
-    lohi = lo * 256 + hi
+    # Per-slot source positions: window w's 128 lanes cover the tile's
+    # sorted pairs [a + (w - wstart)*chunk, b), sentinel nk beyond.
+    lane = jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    src = (a[wt_c][:, None]
+           + (widx - wstart[wt_c])[:, None] * chunk + lane)  # (s_cap, chunk)
+    svalid = in_range[:, None] & (src < b[wt_c][:, None])
+    src_slot = jnp.where(svalid, src, nk).ravel()
 
-    # Group metadata for the tile-group mega-kernels: per-window
-    # meta_t = tile*2 + is_first_window_of_tile, plus per-tile-group
-    # window ranges. Unoccupied trailing slabs keep meta as tile
-    # sentinel with an empty lane range — the backward visit stream
-    # appends them after the last group to zero the gradient tail.
     group = max(int(cfg.tile_group), 1)
-    t_pad = -(-num_tiles // group) * group
-    first = (jnp.arange(s_cap, dtype=jnp.int32) == win_start[t_c])
-    first = first & ~unoccupied
-    meta_t = jnp.where(unoccupied, num_tiles * 2,
-                       t_c * 2 + first.astype(jnp.int32))
-    win_start_pad = jnp.concatenate(
-        [win_start, jnp.full((t_pad + 1 - num_tiles,), total_win,
-                             jnp.int32)])
-    group_start = win_start_pad[::group]
-    layout = WindowLayout(
-        win=win, meta_t=meta_t, lohi=lohi, slab_tile=slab_tile,
-        win_start=win_start_pad, group_start=group_start,
-        total_win=total_win, covered_end=covered_end,
-    )
-    return sorted_gauss, layout, overflow
+    t_gpad = -(-num_tiles // group) * group
+    wstart_pad = jnp.concatenate(
+        [wstart, jnp.full((t_gpad + 1 - num_tiles,), total_win,
+                          jnp.int32)])
+    group_start = wstart_pad[::group]
+    layout = WindowLayout(meta_t=meta_t, win_start=wstart_pad,
+                          group_start=group_start, total_win=total_win)
+    return sorted_gauss, src_slot, layout, overflow
 
 
 def _scan_upper():
@@ -290,208 +287,159 @@ def _scan_upper():
     return (rows <= cols).astype(jnp.float32)
 
 
+def _monomial_basis_t():
+    """(8, PIX) transpose of _monomial_basis, built without a relayout."""
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    x = (pix % TILE).astype(jnp.float32)
+    y = (pix // TILE).astype(jnp.float32)
+    one = jnp.ones((1, PIX), jnp.float32)
+    zero = jnp.zeros((2, PIX), jnp.float32)
+    return jnp.concatenate([one, x, y, x * x, x * y, y * y, zero], axis=0)
+
+
 def _dot(a, b):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
-# All kernel math lives in the transposed (PIX sublanes, chunk lanes)
-# layout so the DMA'd (f_pad, chunk) payload blocks feed it directly:
-# per-pair geometry rows are (1, chunk) lane vectors, pixel coordinates
-# are (PIX, 1) sublane iotas, and every reduction over pixels or pairs
-# is an MXU matmul (ones-row / ones-column / triangular contractions) —
-# no cross-lane shuffles, no relayouts.
-#
-# NOTE: a variant evaluating splat power as an MXU monomial-basis
-# matmul was tried and measured SLOWER on v5e than the direct VPU
-# algebra — a contraction depth of 6 leaves the 128x128 systolic array
-# ~95% idle while adding relayouts.
+def _splat_raw(block_t, t, tw):
+    """Direct VPU evaluation of power + log_op in tile-local coords.
 
-
-def _splat_weights(block_t, okl, t_prev, t, tw, scan_upper, ones_col):
-    """Backward-path recompute: alpha, transmittances, weights, AND the
-    (PIX, chunk) dx/dy blocks the gradient formulas need.
-
-    block_t: (f_pad, chunk) payload window with row 5 = log(opacity);
-    okl: (1, chunk) lane-validity mask; t_prev: (PIX, 1) transmittance
-    at window entry.
+    block_t: (f_pad, chunk) payload window. Returns
+    (raw (PIX, chunk), mxl, myl, ca, cb, cc) — the per-pair lane rows
+    the backward chain reuses. Direct algebra beats an MXU
+    monomial-basis matmul here: the MXU is row-rate-bound (a
+    (256,8)@(8,128) pass costs the same as K=128), while these ~10 VPU
+    ops overlap with the scan/accumulate matmuls — measured ~15%
+    faster AND exactly matching the dense path's fp association.
     """
-    mx, my = block_t[0:1, :], block_t[1:2, :]
+    tx0 = ((t % tw) * TILE).astype(jnp.float32)
+    ty0 = ((t // tw) * TILE).astype(jnp.float32)
+    mxl = block_t[0:1, :] - tx0  # (1, chunk) tile-local mean
+    myl = block_t[1:2, :] - ty0
     ca, cb, cc = block_t[2:3, :], block_t[3:4, :], block_t[4:5, :]
     log_op = block_t[5:6, :]
-
     pix = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    px = ((pix % TILE) + (t % tw) * TILE).astype(jnp.float32)
-    py = ((pix // TILE) + (t // tw) * TILE).astype(jnp.float32)
-    dx = mx - px  # (PIX, chunk)
-    dy = my - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    alpha_un = jnp.exp(jnp.minimum(power, 0.0) + log_op)
-    alpha = jnp.minimum(alpha_un, ALPHA_MAX)
-    alpha = jnp.where((power > 0.0) | (alpha < ALPHA_EPS) | ~okl, 0.0,
-                      alpha)
-    lg = jnp.log1p(-alpha)
-    cum = _dot(lg, scan_upper)  # inclusive prefix of log(1-alpha), lanes
-    tot = _dot(lg, ones_col)  # (PIX, 1) full-window log(1-alpha) sum
-    incl = jnp.exp(cum) * t_prev  # T after each pair
-    excl = incl / (1.0 - alpha)  # T before each pair
-    w = jnp.where(incl >= T_EPS, alpha * excl, 0.0)
-    incl_tot = jnp.exp(tot) * t_prev
-    return dict(power=power, alpha_un=alpha_un, alpha=alpha, incl=incl,
-                excl=excl, w=w, dx=dx, dy=dy, ca=ca, cb=cb, cc=cc,
-                incl_tot=incl_tot)
+    xl = (pix % TILE).astype(jnp.float32)
+    yl = (pix // TILE).astype(jnp.float32)
+    dx = mxl - xl  # (PIX, chunk)
+    dy = myl - yl
+    raw = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy + log_op
+    return raw, mxl, myl, ca, cb, cc
 
 
-def _splat_weights_fwd(block_t, okl, logt_prev, t, tw, scan_upper,
-                       ones_col):
-    """Forward-only variant, fully in log space.
-
-    Opacity arrives pre-folded as log(op) (payload row 5), the
-    transmittance carry is log T (PIX, 1), and the composite weight is
-    ONE exp of (alpha_log + exclusive-scan + log T) — no division, no
-    opacity multiply, no separate exp of the scan. Valid payloads have
-    PD conics (power <= 0) and sanitized rows carry log op ~= -87
-    (alpha -> 0). Matches _splat_weights up to fp reassociation.
-
-    Returns (w (PIX, chunk), new_logt (PIX, 1)).
-    """
-    mx, my = block_t[0:1, :], block_t[1:2, :]
-    ca, cb, cc = block_t[2:3, :], block_t[3:4, :], block_t[4:5, :]
-    log_op = block_t[5:6, :]
-
-    pix = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    px = ((pix % TILE) + (t % tw) * TILE).astype(jnp.float32)
-    py = ((pix // TILE) + (t // tw) * TILE).astype(jnp.float32)
-    dx = mx - px  # (PIX, chunk)
-    dy = my - py
-    alpha_log = jnp.minimum(
-        -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy + log_op,
-        LOG_ALPHA_MAX,
-    )
-    ok = (alpha_log >= LOG_ALPHA_EPS) & okl
-    alpha = jnp.where(ok, jnp.exp(alpha_log), 0.0)
-    lg = jnp.log1p(-alpha)
-    cum_incl = _dot(lg, scan_upper)  # inclusive prefix along lanes
-    cum_excl = cum_incl - lg
-    live = ok & (cum_incl + logt_prev >= LOG_T_EPS)
-    w = jnp.where(live, jnp.exp(alpha_log + cum_excl + logt_prev), 0.0)
-    tot = _dot(lg, ones_col)  # (PIX, 1)
-    return w, logt_prev + tot
-
-
-def _fwd_group_kernel(gstart_ref, win_ref, metat_ref, lohi_ref,
-                      payload_hbm, out_ref, pbuf, psem, logt,
-                      *, n_val: int, tw: int, group: int, num_tiles: int):
+def _fwd_group_kernel(gstart_ref, metat_ref, payload_hbm, out_ref, pbuf,
+                      psem, logt, *, n_val: int, tw: int, group: int,
+                      num_tiles: int):
     """One grid step = one group of `group` consecutive tiles.
 
-    Inner fori_loop walks the group's windows with double-buffered
-    manual DMA of (f_pad, chunk) payload blocks from HBM; the group's
+    Inner fori_loop walks the group's windows behind an NBUF-deep
+    manual DMA pipeline of (f_pad, chunk) payload blocks; the group's
     (group, PIX, c_out) output accumulates in the VMEM out block with
-    dynamic per-tile indexing. This amortizes the ~0.5 us/step
-    sequential-grid overhead (measured: a NULL kernel at one window
-    per step costs ~7 ms at 13.5k steps) over ~dozens of windows per
-    step.
+    dynamic per-tile indexing.
     """
     gi = pl.program_id(0)
     w_lo = gstart_ref[gi]
     w_hi = gstart_ref[gi + 1]
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
     scan_upper = _scan_upper()
-    ones_col = jnp.ones((PAIR_CHUNK, 1), jnp.float32)
 
     def pdma(slot, w):
         return pltpu.make_async_copy(
-            payload_hbm.at[:, pl.ds(win_ref[w] * PAIR_CHUNK, PAIR_CHUNK)],
+            payload_hbm.at[:, pl.ds(w * PAIR_CHUNK, PAIR_CHUNK)],
             pbuf.at[slot], psem.at[slot])
 
     @pl.when(w_lo < w_hi)
     def _():
-        pdma(0, w_lo).start()
+        for j in range(NBUF - 1):
+            @pl.when(w_lo + j < w_hi)
+            def _(j=j):
+                pdma(j, w_lo + j).start()
 
         def body(w, carry):
             i = w - w_lo
-            slot = jax.lax.rem(i, 2)
+            slot = jax.lax.rem(i, NBUF)
 
-            @pl.when(w + 1 < w_hi)
+            @pl.when(w + NBUF - 1 < w_hi)
             def _():
-                pdma(jax.lax.rem(i + 1, 2), w + 1).start()
+                pdma(jax.lax.rem(i + NBUF - 1, NBUF),
+                     w + NBUF - 1).start()
 
             pdma(slot, w).wait()
             mt = metat_ref[w]
             t = mt // 2
             first = mt - 2 * t
-            lh = lohi_ref[w]
-            lo = lh // 256
-            hi = lh - lo * 256
 
             @pl.when(first == 1)
             def _():
                 logt[...] = jnp.zeros(logt.shape, logt.dtype)
 
-            alive = jnp.logical_and(
-                jnp.max(logt[...]) >= LOG_T_EPS,
-                jnp.logical_and(hi > lo, t < num_tiles))
-
-            @pl.when(alive)
+            @pl.when(jnp.max(logt[...]) >= LOG_T_EPS)
             def _():
                 block_t = pbuf[slot]
-                lane = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, PAIR_CHUNK), 1)
-                okl = (lane >= lo) & (lane < hi)
-                wgt, new_logt = _splat_weights_fwd(
-                    block_t, okl, logt[...], t, tw, scan_upper, ones_col)
-                vals_t = block_t[GEOM_COLS:GEOM_COLS + n_val, :]
+                raw, *_ = _splat_raw(block_t, t, tw)
+                alpha_log = jnp.minimum(raw, LOG_ALPHA_MAX)  # (PIX, chunk)
+                ok = alpha_log >= LOG_ALPHA_EPS
+                alpha = jnp.where(ok, jnp.exp(alpha_log), 0.0)
+                lg = jnp.log1p(-alpha)
+                cum_incl = _dot(lg, scan_upper)
+                cum_excl = cum_incl - lg
+                live = ok & (cum_incl + logt[...] >= LOG_T_EPS)
+                wgt = jnp.where(
+                    live, jnp.exp(alpha_log + cum_excl + logt[...]), 0.0)
+                # value rows prefixed by the constant ONE row: one
+                # matmul yields [alpha-total, channels...] per pixel.
+                vals_ext = jnp.concatenate(
+                    [block_t[6:7, :],
+                     block_t[GEOM_COLS:GEOM_COLS + n_val, :]], axis=0)
                 contrib = jax.lax.dot_general(
-                    wgt, vals_t, (((1,), (1,)), ((), ())),
+                    wgt, vals_ext, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (PIX, n_val)
-                acc = _dot(wgt, ones_col)  # (PIX, 1)
-                upd = jnp.concatenate([contrib, acc], axis=1)
+                )  # (PIX, 1 + n_val)
+                # full-window log(1-alpha) total = last lane of the
+                # inclusive scan (padding lanes contribute lg == 0) —
+                # a lane extract, not another row-rate-bound matmul.
+                tot = cum_incl[:, PAIR_CHUNK - 1:PAIR_CHUNK]  # (PIX, 1)
                 tx = t - gi * group
-                out_ref[0, tx] = out_ref[0, tx] + upd
-                logt[...] = new_logt
+                out_ref[0, tx] = out_ref[0, tx] + contrib
+                logt[...] = logt[...] + tot
 
             return carry
 
         jax.lax.fori_loop(w_lo, w_hi, body, 0)
 
 
-def _bwd_group_kernel(vgstart_ref, vwin_ref, vmetat_ref, vlohi_ref,
-                      vpass_ref, rmw_ref, payload_hbm, g_ref, dpay_hbm,
-                      pbuf, psem, obuf, osem, ibuf, isem, tcarry, stot,
-                      prefix, state, *, n_val: int, tw: int, group: int,
-                      num_tiles: int, f_pad: int):
+def _bwd_group_kernel(vgstart_ref, vwin_ref, vmeta_ref, vpass_ref,
+                      payload_hbm, g_ref, dpay_hbm, pbuf, psem, obuf,
+                      osem, tcarry, stot, prefix, state, *, n_val: int,
+                      tw: int, group: int, num_tiles: int, f_pad: int):
     """Backward over one tile group via a linear *visit* stream.
 
     Each tile's windows appear twice: pass 1 accumulates the per-pixel
     total S = sum q*w (and recomputes the transmittance carry), pass 2
     recomputes weights and emits gradients, using the forward-prefix
-    form R_i = S - prefix_i of the suffix accumulator. Gradient blocks
-    accumulate in a double-buffered VMEM slot and flush to HBM when the
-    payload block advances; the first block of a group is read-modify-
-    written when it is shared with the previous group (rmw flag), and
-    trailing garbage visits zero the gradient tail.
+    form R_i = S - prefix_i of the suffix accumulator. With payload
+    blocks 1:1 to windows, every pass-2 window owns its gradient block
+    outright: it is staged in a double-buffered VMEM slot and DMA'd
+    straight out — no read-modify-write, no cross-group sharing.
 
-    state (SMEM): [0]=cur block (-1 none), [1]=cur obuf slot,
-    [2]=inflight block of slot 0 (-1 none), [3]=inflight of slot 1,
-    [4]=first-writer-of-group pending flag.
+    state (SMEM): [0] = next obuf slot, [1]/[2] = in-flight block of
+    slot 0/1 (-1 none).
     """
     gi = pl.program_id(0)
     v_lo = vgstart_ref[gi]
     v_hi = vgstart_ref[gi + 1]
-    state[0] = -1
-    state[1] = 0
+    state[0] = 0
+    state[1] = -1
     state[2] = -1
-    state[3] = -1
-    state[4] = 1
     scan_upper = _scan_upper()
-    ones_col = jnp.ones((PAIR_CHUNK, 1), jnp.float32)
-    ones_row = jnp.ones((1, PIX), jnp.float32)
-    czero = jnp.zeros((f_pad, PAIR_CHUNK), jnp.float32)
+    basis_t = _monomial_basis_t()
+    last = PAIR_CHUNK - 1
 
     def pdma(slot, v):
         return pltpu.make_async_copy(
-            payload_hbm.at[:, pl.ds(vwin_ref[v] * PAIR_CHUNK, PAIR_CHUNK)],
+            payload_hbm.at[:, pl.ds(vwin_ref[v] * PAIR_CHUNK,
+                                    PAIR_CHUNK)],
             pbuf.at[slot], psem.at[slot])
 
     def odma(slot, blk):
@@ -500,75 +448,31 @@ def _bwd_group_kernel(vgstart_ref, vwin_ref, vmetat_ref, vlohi_ref,
             dpay_hbm.at[:, pl.ds(blk * PAIR_CHUNK, PAIR_CHUNK)],
             osem.at[slot])
 
-    def idma(blk):
-        return pltpu.make_async_copy(
-            dpay_hbm.at[:, pl.ds(blk * PAIR_CHUNK, PAIR_CHUNK)],
-            ibuf, isem)
-
-    def flush_cur():
-        cur, cur_slot = state[0], state[1]
-
-        @pl.when(cur >= 0)
-        def _():
-            odma(cur_slot, cur).start()
-            state[2 + cur_slot] = cur
-
-    def advance_to(blk):
-        flush_cur()
-        new_slot = 1 - state[1]
-        inflight = state[2 + new_slot]
-
-        @pl.when(inflight >= 0)
-        def _():
-            odma(new_slot, inflight).wait()
-
-        state[2 + new_slot] = -1
-        use_rmw = jnp.logical_and(state[4] == 1, rmw_ref[gi] == 1)
-
-        @pl.when(use_rmw)
-        def _():
-            idma(blk).start()
-            idma(blk).wait()
-            obuf[new_slot] = ibuf[...]
-
-        @pl.when(jnp.logical_not(use_rmw))
-        def _():
-            obuf[new_slot] = czero
-
-        state[4] = 0
-        state[0] = blk
-        state[1] = new_slot
-
     @pl.when(v_lo < v_hi)
     def _():
-        pdma(0, v_lo).start()
+        for j in range(NBUF - 1):
+            @pl.when(v_lo + j < v_hi)
+            def _(j=j):
+                pdma(j, v_lo + j).start()
 
         def body(v, carry):
             i = v - v_lo
-            slot = jax.lax.rem(i, 2)
+            slot = jax.lax.rem(i, NBUF)
 
-            @pl.when(v + 1 < v_hi)
+            @pl.when(v + NBUF - 1 < v_hi)
             def _():
-                pdma(jax.lax.rem(i + 1, 2), v + 1).start()
+                pdma(jax.lax.rem(i + NBUF - 1, NBUF),
+                     v + NBUF - 1).start()
 
             pdma(slot, v).wait()
-            mt = vmetat_ref[v]
+            mt = vmeta_ref[v]
             t = mt // 2
             first = mt - 2 * t
-            lh = vlohi_ref[v]
-            lo = lh // 256
-            hi = lh - lo * 256
             is_p2 = vpass_ref[v] == 1
             blk = vwin_ref[v]
-            occupied = t < num_tiles
 
-            # writer visits drive the gradient-block lifecycle — also
-            # for garbage visits, which flush zero blocks over the tail
-            @pl.when(jnp.logical_and(is_p2, blk != state[0]))
-            def _():
-                advance_to(blk)
-
-            @pl.when(jnp.logical_and(first == 1, jnp.logical_not(is_p2)))
+            @pl.when(jnp.logical_and(first == 1,
+                                     jnp.logical_not(is_p2)))
             def _():
                 tcarry[...] = jnp.ones(tcarry.shape, tcarry.dtype)
                 stot[...] = jnp.zeros(stot.shape, stot.dtype)
@@ -578,85 +482,115 @@ def _bwd_group_kernel(vgstart_ref, vwin_ref, vmetat_ref, vlohi_ref,
                 tcarry[...] = jnp.ones(tcarry.shape, tcarry.dtype)
                 prefix[...] = jnp.zeros(prefix.shape, prefix.dtype)
 
-            alive = jnp.logical_and(
-                jnp.max(tcarry[...]) >= T_EPS,
-                jnp.logical_and(hi > lo, occupied))
+            alive = jnp.max(tcarry[...]) >= T_EPS
 
-            @pl.when(alive)
+            # every pass-2 window must flush SOME gradient block (the
+            # payload gather's transpose reads them all), so a dead
+            # tile tail still writes zeros.
+            @pl.when(is_p2)
             def _():
-                block_t = pbuf[slot]
-                lane = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, PAIR_CHUNK), 1)
-                okl = (lane >= lo) & (lane < hi)
-                sw = _splat_weights(block_t, okl, tcarry[...], t, tw,
-                                    scan_upper, ones_col)
-                vals_t = block_t[GEOM_COLS:GEOM_COLS + n_val, :]
-                tx = t - gi * group
-                g_vals = g_ref[0, tx, :, 0:n_val]  # (PIX, n_val)
-                g_acc = g_ref[0, tx, :, n_val:n_val + 1]  # (PIX, 1)
-                q = _dot(g_vals, vals_t) + g_acc  # (PIX, chunk)
-                qw = q * sw["w"]
-                s_incl = _dot(qw, scan_upper)  # (PIX, chunk)
-                s_tot = _dot(qw, ones_col)  # (PIX, 1)
+                os = state[0]
 
-                @pl.when(jnp.logical_not(is_p2))
+                @pl.when(state[1 + os] >= 0)
                 def _():
-                    stot[...] = stot[...] + s_tot
+                    odma(os, state[1 + os]).wait()
 
-                @pl.when(is_p2)
+                @pl.when(alive)
                 def _():
-                    # R_i = S_tile - prefix_before - s_incl_i
+                    block_t = pbuf[slot]
+                    raw, mxl, myl, ca, cb, cc = _splat_raw(block_t, t, tw)
+                    alpha_log = jnp.minimum(raw, LOG_ALPHA_MAX)
+                    ok = raw >= LOG_ALPHA_EPS
+                    alpha = jnp.where(ok, jnp.exp(alpha_log), 0.0)
+                    lg = jnp.log1p(-alpha)
+                    cum = _dot(lg, scan_upper)
+                    incl = jnp.exp(cum) * tcarry[...]
+                    excl = incl / (1.0 - alpha)
+                    wgt = jnp.where(incl >= T_EPS, alpha * excl, 0.0)
+                    vals_ext = jnp.concatenate(
+                        [block_t[6:7, :],
+                         block_t[GEOM_COLS:GEOM_COLS + n_val, :]],
+                        axis=0)
+                    g_ext = g_ref[0, t - gi * group]  # (PIX, 1 + n_val)
+                    q = _dot(g_ext, vals_ext)  # (PIX, chunk)
+                    qw = q * wgt
+                    s_incl = _dot(qw, scan_upper)
+                    s_tot = s_incl[:, last:last + 1]  # lane extract
                     suffix = (stot[...] - prefix[...]) - s_incl
-                    keep = (sw["incl"] >= T_EPS).astype(jnp.float32)
-                    dalpha = (q * sw["excl"] * keep
-                              - suffix / (1.0 - sw["alpha"]))
-                    gate = ((sw["power"] <= 0.0)
-                            & (sw["alpha_un"] < ALPHA_MAX)
-                            & (sw["alpha_un"] >= ALPHA_EPS)
-                            & okl).astype(jnp.float32)
-                    dpow = dalpha * gate * sw["alpha_un"]
-                    dx, dy = sw["dx"], sw["dy"]
-                    ca, cb, cc = sw["ca"], sw["cb"], sw["cc"]
-
-                    def psum(x):  # pixel reduction -> (1, chunk)
-                        return _dot(ones_row, x)
-
-                    dmx = psum(dpow * -(ca * dx + cb * dy))
-                    dmy = psum(dpow * -(cc * dy + cb * dx))
-                    d_a = psum(dpow * (-0.5) * dx * dx)
-                    d_b = psum(dpow * -(dx * dy))
-                    d_c = psum(dpow * (-0.5) * dy * dy)
-                    # payload row 5 is log(op):
-                    # d alpha_un / d log_op = alpha_un => pix-sum of dpow
-                    d_logop = psum(dpow)
-                    zr = jnp.zeros((1, PAIR_CHUNK), jnp.float32)
-                    dvals = jax.lax.dot_general(
-                        g_vals, sw["w"], (((0,), (0,)), ((), ())),
+                    keep = (incl >= T_EPS).astype(jnp.float32)
+                    dalpha = q * excl * keep - suffix / (1.0 - alpha)
+                    gate = (ok & (raw < LOG_ALPHA_MAX)).astype(
+                        jnp.float32)
+                    dpow = dalpha * gate * alpha
+                    dcoeff = _dot(basis_t, dpow)  # (8, chunk)
+                    g1 = dcoeff[0:1, :]
+                    gx = dcoeff[1:2, :]
+                    gy = dcoeff[2:3, :]
+                    gx2 = dcoeff[3:4, :]
+                    gxy = dcoeff[4:5, :]
+                    gy2 = dcoeff[5:6, :]
+                    c_x = ca * mxl + cb * myl
+                    c_y = cc * myl + cb * mxl
+                    dmx = -g1 * c_x + gx * ca + gy * cb
+                    dmy = -g1 * c_y + gx * cb + gy * cc
+                    d_ca = -0.5 * g1 * mxl * mxl + gx * mxl - 0.5 * gx2
+                    d_cb = -g1 * mxl * myl + gx * myl + gy * mxl - gxy
+                    d_cc = -0.5 * g1 * myl * myl + gy * myl - 0.5 * gy2
+                    d_logop = g1
+                    dvals_ext = jax.lax.dot_general(
+                        g_ext, wgt, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )  # (n_val, chunk)
-                    parts = [dmx, dmy, d_a, d_b, d_c, d_logop, zr, zr,
-                             dvals]
+                    )  # (1 + n_val, chunk): row 0 = d(ONE row), rest
+                    parts = [dmx, dmy, d_ca, d_cb, d_cc, d_logop,
+                             dvals_ext[0:1, :],
+                             jnp.zeros((1, PAIR_CHUNK), jnp.float32),
+                             dvals_ext[1:, :]]
                     pad_rows = f_pad - GEOM_COLS - n_val
                     if pad_rows:
-                        parts.append(
-                            jnp.zeros((pad_rows, PAIR_CHUNK), jnp.float32))
-                    dgrad = jnp.concatenate(parts, axis=0)
-                    cs = state[1]
-                    obuf[cs] = obuf[cs] + dgrad
+                        parts.append(jnp.zeros((pad_rows, PAIR_CHUNK),
+                                               jnp.float32))
+                    obuf[os] = jnp.concatenate(parts, axis=0)
                     prefix[...] = prefix[...] + s_tot
+                    tcarry[...] = jnp.exp(
+                        cum[:, last:last + 1]) * tcarry[...]
 
-                tcarry[...] = sw["incl_tot"]
+                @pl.when(jnp.logical_not(alive))
+                def _():
+                    obuf[os] = jnp.zeros((f_pad, PAIR_CHUNK), jnp.float32)
+
+                odma(os, blk).start()
+                state[1 + os] = blk
+                state[0] = 1 - os
+
+            @pl.when(jnp.logical_and(jnp.logical_not(is_p2), alive))
+            def _():
+                block_t = pbuf[slot]
+                raw, *_ = _splat_raw(block_t, t, tw)
+                ok = raw >= LOG_ALPHA_EPS
+                alpha = jnp.where(
+                    ok, jnp.exp(jnp.minimum(raw, LOG_ALPHA_MAX)), 0.0)
+                lg = jnp.log1p(-alpha)
+                cum = _dot(lg, scan_upper)
+                incl = jnp.exp(cum) * tcarry[...]
+                excl = incl / (1.0 - alpha)
+                wgt = jnp.where(incl >= T_EPS, alpha * excl, 0.0)
+                vals_ext = jnp.concatenate(
+                    [block_t[6:7, :],
+                     block_t[GEOM_COLS:GEOM_COLS + n_val, :]], axis=0)
+                g_ext = g_ref[0, t - gi * group]
+                qw = _dot(g_ext, vals_ext) * wgt
+                s_incl = _dot(qw, scan_upper)
+                stot[...] = stot[...] + s_incl[:, last:last + 1]
+                tcarry[...] = jnp.exp(cum[:, last:last + 1]) * tcarry[...]
 
             return carry
 
         jax.lax.fori_loop(v_lo, v_hi, body, 0)
 
-        # drain: flush the final block and wait out all in-flight DMAs
-        flush_cur()
         for s in range(2):
-            @pl.when(state[2 + s] >= 0)
+            @pl.when(state[1 + s] >= 0)
             def _(s=s):
-                odma(s, state[2 + s]).wait()
+                odma(s, state[1 + s]).wait()
 
 
 def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val, group,
@@ -665,15 +599,15 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val, group,
     ngroups = (layout.group_start.shape[0] - 1)
     c_out = n_val + 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(ngroups,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
             (1, group, PIX, c_out), lambda g, *_: (g, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, f_pad, PAIR_CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF, f_pad, PAIR_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.VMEM((PIX, 1), jnp.float32),
         ],
     )
@@ -687,21 +621,18 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val, group,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(layout.group_start, layout.win, layout.meta_t, layout.lohi,
-      sorted_payload)
+    )(layout.group_start, layout.meta_t, sorted_payload)
 
 
-def _build_visits(layout, num_tiles: int, nk: int):
+def _build_visits(layout, num_tiles: int):
     """Backward visit stream: each tile's windows twice (pass 1 totals,
-    pass 2 gradients), then garbage visits covering the payload tail
-    blocks, all grouped like the forward. Pure index arithmetic at
-    S-cap size. Also computes the per-group first-block RMW flags."""
-    chunk = PAIR_CHUNK
-    win_start = layout.win_start  # (T_pad + 1,)
+    pass 2 gradients), grouped like the forward. Pure index arithmetic
+    at 2*S_cap size."""
+    win_start = layout.win_start  # (T_gpad + 1,)
     t_pad = win_start.shape[0] - 1
-    s_cap = layout.win.shape[0]
+    s_cap = layout.meta_t.shape[0]
     total_win = layout.total_win
-    nwin = win_start[1:] - win_start[:-1]  # (T_pad,)
+    nwin = win_start[1:] - win_start[:-1]  # (T_gpad,)
     vcum = 2 * win_start[1:]  # cumulative visits (= 2 * cum windows)
 
     v_cap = 2 * s_cap
@@ -711,33 +642,15 @@ def _build_visits(layout, num_tiles: int, nk: int):
     vt_c = jnp.minimum(vt, t_pad - 1)
     j = vi - 2 * win_start[vt_c]
     p2 = j >= nwin[vt_c]
-    widx = win_start[vt_c] + jnp.where(p2, j - nwin[vt_c], j)
-
-    # garbage visits: one per tail block, appended after the real ones;
-    # they live at slab indices >= total_win in the window arrays
-    garbage = vi >= 2 * total_win
-    widx_g = total_win + (vi - 2 * total_win)
-    widx = jnp.where(garbage, widx_g, widx)
-    widx = jnp.clip(widx, 0, s_cap - 1)
-    vwin = layout.win[widx]
-    vmeta = jnp.where(garbage, num_tiles * 2, layout.meta_t[widx])
-    vlohi = jnp.where(garbage, 0, layout.lohi[widx])
-    vpass = jnp.where(garbage, 1, p2.astype(jnp.int32))
-
-    blocks_total = nk // chunk + 1
-    n_garbage = blocks_total - layout.covered_end
-    vend = 2 * total_win + jnp.maximum(n_garbage, 0)
-    vgroup_start = jnp.concatenate(
-        [2 * layout.group_start[:-1], vend[None]])
-
-    # RMW flag: group g's first gradient block equals group g-1's last
-    gs = layout.group_start
-    ngroups = gs.shape[0] - 1
-    first_blk = layout.win[jnp.minimum(gs[:-1], s_cap - 1)]
-    prev_last = layout.win[jnp.clip(gs[:-1] - 1, 0, s_cap - 1)]
-    nonempty = gs[:-1] < gs[1:]
-    rmw = (jnp.arange(ngroups) > 0) & nonempty & (first_blk == prev_last)
-    return vgroup_start, vwin, vmeta, vlohi, vpass, rmw.astype(jnp.int32)
+    w = win_start[vt_c] + jnp.where(p2, j - nwin[vt_c], j)
+    in_range = vi < 2 * total_win
+    vwin = jnp.where(in_range, w, 0)
+    first = (w == win_start[vt_c]) & in_range
+    vmeta = jnp.where(in_range, vt_c * 2 + first.astype(jnp.int32),
+                      num_tiles * 2)
+    vpass = jnp.where(in_range, p2.astype(jnp.int32), 1)
+    vgroup_start = 2 * layout.group_start
+    return vgroup_start, vwin, vmeta, vpass
 
 
 def _backward_impl(sorted_payload, layout, g, *, num_tiles, tw, n_val,
@@ -745,12 +658,10 @@ def _backward_impl(sorted_payload, layout, g, *, num_tiles, tw, n_val,
     f_pad, p_cols = sorted_payload.shape
     ngroups = layout.group_start.shape[0] - 1
     c_out = n_val + 1
-    nk = p_cols - PAIR_CHUNK
-    vgroup_start, vwin, vmeta, vlohi, vpass, rmw = _build_visits(
-        layout, num_tiles, nk)
+    vgroup_start, vwin, vmeta, vpass = _build_visits(layout, num_tiles)
     g4 = g.reshape(ngroups, group, PIX, c_out)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=4,
         grid=(ngroups,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -760,16 +671,14 @@ def _backward_impl(sorted_payload, layout, g, *, num_tiles, tw, n_val,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, f_pad, PAIR_CHUNK), jnp.float32),  # pbuf
-            pltpu.SemaphoreType.DMA((2,)),  # psem
+            pltpu.VMEM((NBUF, f_pad, PAIR_CHUNK), jnp.float32),  # pbuf
+            pltpu.SemaphoreType.DMA((NBUF,)),  # psem
             pltpu.VMEM((2, f_pad, PAIR_CHUNK), jnp.float32),  # obuf
             pltpu.SemaphoreType.DMA((2,)),  # osem
-            pltpu.VMEM((f_pad, PAIR_CHUNK), jnp.float32),  # ibuf
-            pltpu.SemaphoreType.DMA(()),  # isem
             pltpu.VMEM((PIX, 1), jnp.float32),  # tcarry
             pltpu.VMEM((PIX, 1), jnp.float32),  # stot
             pltpu.VMEM((PIX, 1), jnp.float32),  # prefix
-            pltpu.SMEM((8,), jnp.int32),  # state
+            pltpu.SMEM((4,), jnp.int32),  # state
         ],
     )
     kernel = functools.partial(_bwd_group_kernel, n_val=n_val, tw=tw,
@@ -783,49 +692,63 @@ def _backward_impl(sorted_payload, layout, g, *, num_tiles, tw, n_val,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True),
-    )(vgroup_start, vwin, vmeta, vlohi, vpass, rmw, sorted_payload, g4)
+    )(vgroup_start, vwin, vmeta, vpass, sorted_payload, g4)
 
 
-class WindowLayout(NamedTuple):
-    """Static-shape binning metadata shared by the kernels (all int32)."""
+def _gather_padded(payload, sorted_gauss, src_slot):
+    """(N+1, f_pad) table -> transposed padded-slot payload.
 
-    win: jnp.ndarray  # (S,) payload block index per window
-    meta_t: jnp.ndarray  # (S,) tile*2 + first-window-of-tile flag
-    lohi: jnp.ndarray  # (S,) valid lane range, lo*256 + hi
-    slab_tile: jnp.ndarray  # (S,) tile id, num_tiles = unoccupied
-    win_start: jnp.ndarray  # (T_pad+1,) first window of each tile
-    group_start: jnp.ndarray  # (ngroups+1,) first window of each group
-    total_win: jnp.ndarray  # () number of occupied windows
-    covered_end: jnp.ndarray  # () first payload block past real windows
+    Two row gathers: pair order (nk rows), then the aligned slot
+    relayout (slot_cap rows) with the dead row (payload[-1]) filling
+    padding slots via the appended sentinel row.
+    """
+    ps = payload[sorted_gauss]  # (nk, f_pad) — pair order
+    ps_ext = jnp.concatenate([ps, payload[-1:]], axis=0)  # nk = dead
+    return ps_ext[src_slot].T  # (f_pad, slot_cap)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def pallas_composite(static_cfg, sorted_payload, layout):
-    """Composite windows -> (T_pad, 256, n_val + 1) tile accumulations.
+def pallas_composite(static_cfg, payload, sorted_gauss, src_slot, layout):
+    """Gather + composite -> (T_gpad*, PIX, 1 + n_val) accumulations.
 
-    static_cfg = (num_tiles, tw, n_val, group, interpret).
-    sorted_payload is the TRANSPOSED (f_pad, N*K + chunk) pair payload.
-    Differentiable in sorted_payload via the Pallas backward kernel.
+    static_cfg = (num_tiles, tw, n_val, group, interpret). payload is
+    the (N + 1, f_pad) per-gaussian table (dead row last);
+    sorted_gauss / src_slot the layout's index maps. Output channel 0
+    is the alpha total, channels 1.. the composited values.
+    Differentiable in payload — the backward runs the Pallas gradient
+    kernel, then reduces the per-slot gradients over each gaussian's
+    slots.
     """
     num_tiles, tw, n_val, group, interpret = static_cfg
-    out = _forward_impl(sorted_payload, layout, num_tiles=num_tiles,
-                        tw=tw, n_val=n_val, group=group,
-                        interpret=interpret)
+    sp = _gather_padded(payload, sorted_gauss, src_slot)
+    out = _forward_impl(sp, layout, num_tiles=num_tiles, tw=tw,
+                        n_val=n_val, group=group, interpret=interpret)
     return out.reshape(-1, PIX, n_val + 1)
 
 
-def _pc_fwd(static_cfg, sorted_payload, layout):
-    out = pallas_composite(static_cfg, sorted_payload, layout)
-    return out, (sorted_payload, layout)
+def _pc_fwd(static_cfg, payload, sorted_gauss, src_slot, layout):
+    num_tiles, tw, n_val, group, interpret = static_cfg
+    sp = _gather_padded(payload, sorted_gauss, src_slot)
+    out = _forward_impl(sp, layout, num_tiles=num_tiles, tw=tw,
+                        n_val=n_val, group=group, interpret=interpret)
+    return (out.reshape(-1, PIX, n_val + 1),
+            (sp, sorted_gauss, src_slot, layout, payload.shape[0]))
 
 
 def _pc_bwd(static_cfg, res, g):
     num_tiles, tw, n_val, group, interpret = static_cfg
-    sorted_payload, layout = res
-    dpay = _backward_impl(sorted_payload, layout, g, num_tiles=num_tiles,
-                          tw=tw, n_val=n_val, group=group,
-                          interpret=interpret)
-    return dpay, None
+    sp, sorted_gauss, src_slot, layout, n_rows = res
+    dpay = _backward_impl(sp, layout, g, num_tiles=num_tiles, tw=tw,
+                          n_val=n_val, group=group, interpret=interpret)
+    # Un-sort: scatter-add per-slot gradients over each gaussian's
+    # slots (padding slots land on the dead row, dropped upstream).
+    # Composed index map materialized here — training-only cost.
+    sg_ext = jnp.concatenate(
+        [sorted_gauss,
+         jnp.full((1,), n_rows - 1, sorted_gauss.dtype)])
+    sg_pad = sg_ext[src_slot]
+    dpayload = jax.ops.segment_sum(dpay.T, sg_pad, num_segments=n_rows)
+    return dpayload, None, None, None
 
 
 pallas_composite.defvjp(_pc_fwd, _pc_bwd)
@@ -847,14 +770,17 @@ def rasterize_tiled_pallas(
     """
     th, tw = _tile_grid(image_height, image_width)
     num_tiles = th * tw
-    sorted_gauss, layout, overflow = build_window_layout(
+    sorted_gauss, src_slot, layout, overflow = build_window_layout(
         proj, image_height, image_width, cfg)
 
     n = proj.mean2d.shape[0]
     # Sanitized per-gaussian payload (invalid rows zeroed: keeps garbage
     # projections from poisoning exp() and blocks their gradients).
-    # Column 5 carries log(opacity): the kernels work in log space, and
-    # the log's VJP (1/op chain) happens here in XLA, outside the kernel.
+    # Row 5 carries log(opacity): the kernels work in log space, and
+    # the log's VJP (1/op chain) happens here in XLA, outside the
+    # kernel. Row 6 is the constant ONE that folds the alpha-total into
+    # the channel matmul; a dead row (alpha == 0) is appended for the
+    # layout's padding slots.
     vmask = proj.valid
     opacity = jnp.where(vmask, proj.opacity, 0.0)
     log_op = jnp.log(jnp.maximum(opacity, 1e-38))
@@ -869,26 +795,21 @@ def rasterize_tiled_pallas(
     f = GEOM_COLS + n_val
     f_pad = -(-f // 8) * 8
     payload = jnp.concatenate(
-        [mean2d, conic, log_op[:, None],
-         jnp.zeros((n, 2), mean2d.dtype), vals,
+        [mean2d, conic, log_op[:, None], jnp.ones((n, 1), mean2d.dtype),
+         jnp.zeros((n, 1), mean2d.dtype), vals,
          jnp.zeros((n, f_pad - f), mean2d.dtype)], axis=1)  # (N, f_pad)
-
-    # The one gather, then the kernel-facing transpose: (f_pad, N*K)
-    # pairs-in-lanes, plus one zero pad block (windows may extend past
-    # the last pair; padding lanes are outside every [lo, hi) range).
-    sorted_payload = payload[sorted_gauss].T
-    sorted_payload = jnp.concatenate(
-        [sorted_payload,
-         jnp.zeros((f_pad, PAIR_CHUNK), sorted_payload.dtype)], axis=1)
+    dead = jnp.zeros((1, f_pad), payload.dtype).at[0, 5].set(LOG_ZERO)
+    payload = jnp.concatenate([payload, dead], axis=0)  # (N + 1, f_pad)
 
     group = max(int(cfg.tile_group), 1)
     out = pallas_composite(
-        (num_tiles, tw, n_val, group, interpret), sorted_payload, layout
-    )[:num_tiles]  # (T, PIX, n_val + 1)
-    out = out.transpose(0, 2, 1)  # (T, n_val + 1, PIX)
+        (num_tiles, tw, n_val, group, interpret), payload, sorted_gauss,
+        src_slot, layout
+    )[:num_tiles]  # (T, PIX, 1 + n_val)
+    out = out.transpose(0, 2, 1)  # (T, 1 + n_val, PIX)
 
-    acc = out[:, n_val, :]
-    img = out[:, :n_val, :].reshape(th, tw, n_val, TILE, TILE)
+    acc = out[:, 0, :]
+    img = out[:, 1:, :].reshape(th, tw, n_val, TILE, TILE)
     img = img.transpose(2, 0, 3, 1, 4).reshape(
         n_val, th * TILE, tw * TILE)[:, :image_height, :image_width]
     acc = acc.reshape(th, tw, TILE, TILE).transpose(0, 2, 1, 3).reshape(
