@@ -90,7 +90,7 @@ PAIR_CHUNK = 128  # window width = lane count
 GEOM_COLS = 8  # mean2d(2) + conic(3) + log opacity(1) + one(1) + pad(1)
 PIX = TILE * TILE  # 256
 DEPTH_BITS = 19  # depth quantization inside the u32 sort key
-NBUF = 4  # payload DMA pipeline depth
+SUPER = 8  # windows fetched per payload DMA (amortizes issue/wait cost)
 
 LOG_ALPHA_MAX = float(np.log(ALPHA_MAX))
 LOG_ALPHA_EPS = float(np.log(ALPHA_EPS))
@@ -328,15 +328,69 @@ def _splat_raw(block_t, t, tw):
     return raw, mxl, myl, ca, cb, cc
 
 
+def _superblock_walk(w_lo, w_hi, payload_hbm, pbuf, psem, tbuf, tsem,
+                     process):
+    """Walk windows [w_lo, w_hi) calling process(block_t, w).
+
+    Full SUPER-window superblocks stream through a double-buffered
+    (f_pad, SUPER*chunk) DMA — one issue/wait per 8 windows, windows
+    addressed by STATIC lane slices — then a per-window tail loop
+    covers the remainder. This amortizes the measured ~0.5 us/window
+    DMA issue+wait floor to ~1/8th.
+    """
+    nsb = (w_hi - w_lo) // SUPER
+
+    def sdma(slot, sb):
+        w = w_lo + sb * SUPER
+        return pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(w * PAIR_CHUNK, SUPER * PAIR_CHUNK)],
+            pbuf.at[slot], psem.at[slot])
+
+    def tdma(w):
+        return pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(w * PAIR_CHUNK, PAIR_CHUNK)],
+            tbuf, tsem)
+
+    @pl.when(nsb > 0)
+    def _():
+        sdma(0, 0).start()
+
+        def body(sb, carry):
+            slot = jax.lax.rem(sb, 2)
+
+            @pl.when(sb + 1 < nsb)
+            def _():
+                sdma(jax.lax.rem(sb + 1, 2), sb + 1).start()
+
+            sdma(slot, sb).wait()
+            base = w_lo + sb * SUPER
+            for j in range(SUPER):
+                process(
+                    pbuf[slot, :,
+                         j * PAIR_CHUNK:(j + 1) * PAIR_CHUNK],
+                    base + j)
+            return carry
+
+        jax.lax.fori_loop(0, nsb, body, 0)
+
+    def tail_body(w, carry):
+        tdma(w).start()
+        tdma(w).wait()
+        process(tbuf[...], w)
+        return carry
+
+    jax.lax.fori_loop(w_lo + nsb * SUPER, w_hi, tail_body, 0)
+
+
 def _fwd_group_kernel(gstart_ref, metat_ref, payload_hbm, out_ref, pbuf,
-                      psem, logt, *, n_val: int, tw: int, group: int,
-                      num_tiles: int):
+                      psem, tbuf, tsem, logt, *, n_val: int, tw: int,
+                      group: int, num_tiles: int):
     """One grid step = one group of `group` consecutive tiles.
 
-    Inner fori_loop walks the group's windows behind an NBUF-deep
-    manual DMA pipeline of (f_pad, chunk) payload blocks; the group's
+    Superblocked window walk (see _superblock_walk); the group's
     (group, PIX, c_out) output accumulates in the VMEM out block with
-    dynamic per-tile indexing.
+    dynamic per-tile indexing, the per-tile log-transmittance carry in
+    a (PIX, 1) scratch.
     """
     gi = pl.program_id(0)
     w_lo = gstart_ref[gi]
@@ -344,91 +398,71 @@ def _fwd_group_kernel(gstart_ref, metat_ref, payload_hbm, out_ref, pbuf,
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
     scan_upper = _scan_upper()
 
-    def pdma(slot, w):
-        return pltpu.make_async_copy(
-            payload_hbm.at[:, pl.ds(w * PAIR_CHUNK, PAIR_CHUNK)],
-            pbuf.at[slot], psem.at[slot])
+    def process(block_t, w):
+        mt = metat_ref[w]
+        t = mt // 2
+        first = mt - 2 * t
 
-    @pl.when(w_lo < w_hi)
-    def _():
-        for j in range(NBUF - 1):
-            @pl.when(w_lo + j < w_hi)
-            def _(j=j):
-                pdma(j, w_lo + j).start()
+        @pl.when(first == 1)
+        def _():
+            logt[...] = jnp.zeros(logt.shape, logt.dtype)
 
-        def body(w, carry):
-            i = w - w_lo
-            slot = jax.lax.rem(i, NBUF)
+        @pl.when(jnp.max(logt[...]) >= LOG_T_EPS)
+        def _():
+            raw, *_ = _splat_raw(block_t, t, tw)
+            alpha_log = jnp.minimum(raw, LOG_ALPHA_MAX)  # (PIX, chunk)
+            ok = alpha_log >= LOG_ALPHA_EPS
+            alpha = jnp.where(ok, jnp.exp(alpha_log), 0.0)
+            lg = jnp.log1p(-alpha)
+            cum_incl = _dot(lg, scan_upper)
+            cum_excl = cum_incl - lg
+            live = ok & (cum_incl + logt[...] >= LOG_T_EPS)
+            wgt = jnp.where(
+                live, jnp.exp(alpha_log + cum_excl + logt[...]), 0.0)
+            # value rows prefixed by the constant ONE row: one
+            # matmul yields [alpha-total, channels...] per pixel.
+            vals_ext = jnp.concatenate(
+                [block_t[6:7, :],
+                 block_t[GEOM_COLS:GEOM_COLS + n_val, :]], axis=0)
+            contrib = jax.lax.dot_general(
+                wgt, vals_ext, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (PIX, 1 + n_val)
+            # full-window log(1-alpha) total = last lane of the
+            # inclusive scan (padding lanes contribute lg == 0) —
+            # a lane extract, not another row-rate-bound matmul.
+            tot = cum_incl[:, PAIR_CHUNK - 1:PAIR_CHUNK]  # (PIX, 1)
+            tx = t - gi * group
+            out_ref[0, tx] = out_ref[0, tx] + contrib
+            logt[...] = logt[...] + tot
 
-            @pl.when(w + NBUF - 1 < w_hi)
-            def _():
-                pdma(jax.lax.rem(i + NBUF - 1, NBUF),
-                     w + NBUF - 1).start()
-
-            pdma(slot, w).wait()
-            mt = metat_ref[w]
-            t = mt // 2
-            first = mt - 2 * t
-
-            @pl.when(first == 1)
-            def _():
-                logt[...] = jnp.zeros(logt.shape, logt.dtype)
-
-            @pl.when(jnp.max(logt[...]) >= LOG_T_EPS)
-            def _():
-                block_t = pbuf[slot]
-                raw, *_ = _splat_raw(block_t, t, tw)
-                alpha_log = jnp.minimum(raw, LOG_ALPHA_MAX)  # (PIX, chunk)
-                ok = alpha_log >= LOG_ALPHA_EPS
-                alpha = jnp.where(ok, jnp.exp(alpha_log), 0.0)
-                lg = jnp.log1p(-alpha)
-                cum_incl = _dot(lg, scan_upper)
-                cum_excl = cum_incl - lg
-                live = ok & (cum_incl + logt[...] >= LOG_T_EPS)
-                wgt = jnp.where(
-                    live, jnp.exp(alpha_log + cum_excl + logt[...]), 0.0)
-                # value rows prefixed by the constant ONE row: one
-                # matmul yields [alpha-total, channels...] per pixel.
-                vals_ext = jnp.concatenate(
-                    [block_t[6:7, :],
-                     block_t[GEOM_COLS:GEOM_COLS + n_val, :]], axis=0)
-                contrib = jax.lax.dot_general(
-                    wgt, vals_ext, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (PIX, 1 + n_val)
-                # full-window log(1-alpha) total = last lane of the
-                # inclusive scan (padding lanes contribute lg == 0) —
-                # a lane extract, not another row-rate-bound matmul.
-                tot = cum_incl[:, PAIR_CHUNK - 1:PAIR_CHUNK]  # (PIX, 1)
-                tx = t - gi * group
-                out_ref[0, tx] = out_ref[0, tx] + contrib
-                logt[...] = logt[...] + tot
-
-            return carry
-
-        jax.lax.fori_loop(w_lo, w_hi, body, 0)
+    _superblock_walk(w_lo, w_hi, payload_hbm, pbuf, psem, tbuf, tsem,
+                     process)
 
 
-def _bwd_group_kernel(vgstart_ref, vwin_ref, vmeta_ref, vpass_ref,
-                      payload_hbm, g_ref, dpay_hbm, pbuf, psem, obuf,
-                      osem, tcarry, stot, prefix, state, *, n_val: int,
+def _bwd_group_kernel(gstart_ref, metat_ref, payload_hbm, g_ref,
+                      dpay_hbm, pbuf, psem, obuf, osem, tbuf, tsem,
+                      stot_all, tcarry, prefix, state, *, n_val: int,
                       tw: int, group: int, num_tiles: int, f_pad: int):
-    """Backward over one tile group via a linear *visit* stream.
+    """Backward over one tile group: two superblocked passes.
 
-    Each tile's windows appear twice: pass 1 accumulates the per-pixel
-    total S = sum q*w (and recomputes the transmittance carry), pass 2
-    recomputes weights and emits gradients, using the forward-prefix
-    form R_i = S - prefix_i of the suffix accumulator. With payload
-    blocks 1:1 to windows, every pass-2 window owns its gradient block
-    outright: it is staged in a double-buffered VMEM slot and DMA'd
-    straight out — no read-modify-write, no cross-group sharing.
+    Pass 1 walks the group's windows [w_lo, w_hi) accumulating each
+    tile's per-pixel total S = sum q*w into the per-tile stot_all
+    slot (and recomputing the transmittance carry). Pass 2 re-walks
+    the same contiguous range and emits gradients, using the
+    forward-prefix form R_i = S - prefix_i of the suffix accumulator.
+    Both passes stream payload through the shared superblock walker —
+    no visit stream, no per-window DMA floor. With payload blocks 1:1
+    to windows, every pass-2 window owns its gradient block outright:
+    it is staged in a double-buffered VMEM slot and DMA'd straight
+    out — no read-modify-write, no cross-group sharing.
 
     state (SMEM): [0] = next obuf slot, [1]/[2] = in-flight block of
     slot 0/1 (-1 none).
     """
     gi = pl.program_id(0)
-    v_lo = vgstart_ref[gi]
-    v_hi = vgstart_ref[gi + 1]
+    w_lo = gstart_ref[gi]
+    w_hi = gstart_ref[gi + 1]
     state[0] = 0
     state[1] = -1
     state[2] = -1
@@ -436,161 +470,136 @@ def _bwd_group_kernel(vgstart_ref, vwin_ref, vmeta_ref, vpass_ref,
     basis_t = _monomial_basis_t()
     last = PAIR_CHUNK - 1
 
-    def pdma(slot, v):
-        return pltpu.make_async_copy(
-            payload_hbm.at[:, pl.ds(vwin_ref[v] * PAIR_CHUNK,
-                                    PAIR_CHUNK)],
-            pbuf.at[slot], psem.at[slot])
-
     def odma(slot, blk):
         return pltpu.make_async_copy(
             obuf.at[slot],
             dpay_hbm.at[:, pl.ds(blk * PAIR_CHUNK, PAIR_CHUNK)],
             osem.at[slot])
 
-    @pl.when(v_lo < v_hi)
-    def _():
-        for j in range(NBUF - 1):
-            @pl.when(v_lo + j < v_hi)
-            def _(j=j):
-                pdma(j, v_lo + j).start()
+    def pass1(block_t, w):
+        mt = metat_ref[w]
+        t = mt // 2
+        first = mt - 2 * t
+        tx = t - gi * group
 
-        def body(v, carry):
-            i = v - v_lo
-            slot = jax.lax.rem(i, NBUF)
+        @pl.when(first == 1)
+        def _():
+            tcarry[...] = jnp.ones(tcarry.shape, tcarry.dtype)
+            stot_all[tx] = jnp.zeros((PIX, 1), jnp.float32)
 
-            @pl.when(v + NBUF - 1 < v_hi)
-            def _():
-                pdma(jax.lax.rem(i + NBUF - 1, NBUF),
-                     v + NBUF - 1).start()
+        @pl.when(jnp.max(tcarry[...]) >= T_EPS)
+        def _():
+            raw, *_ = _splat_raw(block_t, t, tw)
+            ok = raw >= LOG_ALPHA_EPS
+            alpha = jnp.where(
+                ok, jnp.exp(jnp.minimum(raw, LOG_ALPHA_MAX)), 0.0)
+            lg = jnp.log1p(-alpha)
+            cum = _dot(lg, scan_upper)
+            incl = jnp.exp(cum) * tcarry[...]
+            excl = incl / (1.0 - alpha)
+            wgt = jnp.where(incl >= T_EPS, alpha * excl, 0.0)
+            vals_ext = jnp.concatenate(
+                [block_t[6:7, :],
+                 block_t[GEOM_COLS:GEOM_COLS + n_val, :]], axis=0)
+            g_ext = g_ref[0, tx]
+            qw = _dot(g_ext, vals_ext) * wgt
+            s_incl = _dot(qw, scan_upper)
+            stot_all[tx] = stot_all[tx] + s_incl[:, last:last + 1]
+            tcarry[...] = jnp.exp(cum[:, last:last + 1]) * tcarry[...]
 
-            pdma(slot, v).wait()
-            mt = vmeta_ref[v]
-            t = mt // 2
-            first = mt - 2 * t
-            is_p2 = vpass_ref[v] == 1
-            blk = vwin_ref[v]
+    def pass2(block_t, w):
+        mt = metat_ref[w]
+        t = mt // 2
+        first = mt - 2 * t
+        tx = t - gi * group
 
-            @pl.when(jnp.logical_and(first == 1,
-                                     jnp.logical_not(is_p2)))
-            def _():
-                tcarry[...] = jnp.ones(tcarry.shape, tcarry.dtype)
-                stot[...] = jnp.zeros(stot.shape, stot.dtype)
+        @pl.when(first == 1)
+        def _():
+            tcarry[...] = jnp.ones(tcarry.shape, tcarry.dtype)
+            prefix[...] = jnp.zeros(prefix.shape, prefix.dtype)
 
-            @pl.when(jnp.logical_and(first == 1, is_p2))
-            def _():
-                tcarry[...] = jnp.ones(tcarry.shape, tcarry.dtype)
-                prefix[...] = jnp.zeros(prefix.shape, prefix.dtype)
+        alive = jnp.max(tcarry[...]) >= T_EPS
+        os = state[0]
 
-            alive = jnp.max(tcarry[...]) >= T_EPS
+        @pl.when(state[1 + os] >= 0)
+        def _():
+            odma(os, state[1 + os]).wait()
 
-            # every pass-2 window must flush SOME gradient block (the
-            # payload gather's transpose reads them all), so a dead
-            # tile tail still writes zeros.
-            @pl.when(is_p2)
-            def _():
-                os = state[0]
+        @pl.when(alive)
+        def _():
+            raw, mxl, myl, ca, cb, cc = _splat_raw(block_t, t, tw)
+            alpha_log = jnp.minimum(raw, LOG_ALPHA_MAX)
+            ok = raw >= LOG_ALPHA_EPS
+            alpha = jnp.where(ok, jnp.exp(alpha_log), 0.0)
+            lg = jnp.log1p(-alpha)
+            cum = _dot(lg, scan_upper)
+            incl = jnp.exp(cum) * tcarry[...]
+            excl = incl / (1.0 - alpha)
+            wgt = jnp.where(incl >= T_EPS, alpha * excl, 0.0)
+            vals_ext = jnp.concatenate(
+                [block_t[6:7, :],
+                 block_t[GEOM_COLS:GEOM_COLS + n_val, :]], axis=0)
+            g_ext = g_ref[0, tx]  # (PIX, 1 + n_val)
+            q = _dot(g_ext, vals_ext)  # (PIX, chunk)
+            qw = q * wgt
+            s_incl = _dot(qw, scan_upper)
+            s_tot = s_incl[:, last:last + 1]  # lane extract
+            suffix = (stot_all[tx] - prefix[...]) - s_incl
+            keep = (incl >= T_EPS).astype(jnp.float32)
+            dalpha = q * excl * keep - suffix / (1.0 - alpha)
+            gate = (ok & (raw < LOG_ALPHA_MAX)).astype(jnp.float32)
+            dpow = dalpha * gate * alpha
+            dcoeff = _dot(basis_t, dpow)  # (8, chunk)
+            g1 = dcoeff[0:1, :]
+            gx = dcoeff[1:2, :]
+            gy = dcoeff[2:3, :]
+            gx2 = dcoeff[3:4, :]
+            gxy = dcoeff[4:5, :]
+            gy2 = dcoeff[5:6, :]
+            c_x = ca * mxl + cb * myl
+            c_y = cc * myl + cb * mxl
+            dmx = -g1 * c_x + gx * ca + gy * cb
+            dmy = -g1 * c_y + gx * cb + gy * cc
+            d_ca = -0.5 * g1 * mxl * mxl + gx * mxl - 0.5 * gx2
+            d_cb = -g1 * mxl * myl + gx * myl + gy * mxl - gxy
+            d_cc = -0.5 * g1 * myl * myl + gy * myl - 0.5 * gy2
+            d_logop = g1
+            dvals_ext = jax.lax.dot_general(
+                g_ext, wgt, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1 + n_val, chunk): row 0 = d(ONE row), rest values
+            parts = [dmx, dmy, d_ca, d_cb, d_cc, d_logop,
+                     dvals_ext[0:1, :],
+                     jnp.zeros((1, PAIR_CHUNK), jnp.float32),
+                     dvals_ext[1:, :]]
+            pad_rows = f_pad - GEOM_COLS - n_val
+            if pad_rows:
+                parts.append(jnp.zeros((pad_rows, PAIR_CHUNK),
+                                       jnp.float32))
+            obuf[os] = jnp.concatenate(parts, axis=0)
+            prefix[...] = prefix[...] + s_tot
+            tcarry[...] = jnp.exp(cum[:, last:last + 1]) * tcarry[...]
 
-                @pl.when(state[1 + os] >= 0)
-                def _():
-                    odma(os, state[1 + os]).wait()
+        # every pass-2 window must flush SOME gradient block (the
+        # payload gather's transpose reads them all), so a saturated
+        # tile tail still writes zeros.
+        @pl.when(jnp.logical_not(alive))
+        def _():
+            obuf[os] = jnp.zeros((f_pad, PAIR_CHUNK), jnp.float32)
 
-                @pl.when(alive)
-                def _():
-                    block_t = pbuf[slot]
-                    raw, mxl, myl, ca, cb, cc = _splat_raw(block_t, t, tw)
-                    alpha_log = jnp.minimum(raw, LOG_ALPHA_MAX)
-                    ok = raw >= LOG_ALPHA_EPS
-                    alpha = jnp.where(ok, jnp.exp(alpha_log), 0.0)
-                    lg = jnp.log1p(-alpha)
-                    cum = _dot(lg, scan_upper)
-                    incl = jnp.exp(cum) * tcarry[...]
-                    excl = incl / (1.0 - alpha)
-                    wgt = jnp.where(incl >= T_EPS, alpha * excl, 0.0)
-                    vals_ext = jnp.concatenate(
-                        [block_t[6:7, :],
-                         block_t[GEOM_COLS:GEOM_COLS + n_val, :]],
-                        axis=0)
-                    g_ext = g_ref[0, t - gi * group]  # (PIX, 1 + n_val)
-                    q = _dot(g_ext, vals_ext)  # (PIX, chunk)
-                    qw = q * wgt
-                    s_incl = _dot(qw, scan_upper)
-                    s_tot = s_incl[:, last:last + 1]  # lane extract
-                    suffix = (stot[...] - prefix[...]) - s_incl
-                    keep = (incl >= T_EPS).astype(jnp.float32)
-                    dalpha = q * excl * keep - suffix / (1.0 - alpha)
-                    gate = (ok & (raw < LOG_ALPHA_MAX)).astype(
-                        jnp.float32)
-                    dpow = dalpha * gate * alpha
-                    dcoeff = _dot(basis_t, dpow)  # (8, chunk)
-                    g1 = dcoeff[0:1, :]
-                    gx = dcoeff[1:2, :]
-                    gy = dcoeff[2:3, :]
-                    gx2 = dcoeff[3:4, :]
-                    gxy = dcoeff[4:5, :]
-                    gy2 = dcoeff[5:6, :]
-                    c_x = ca * mxl + cb * myl
-                    c_y = cc * myl + cb * mxl
-                    dmx = -g1 * c_x + gx * ca + gy * cb
-                    dmy = -g1 * c_y + gx * cb + gy * cc
-                    d_ca = -0.5 * g1 * mxl * mxl + gx * mxl - 0.5 * gx2
-                    d_cb = -g1 * mxl * myl + gx * myl + gy * mxl - gxy
-                    d_cc = -0.5 * g1 * myl * myl + gy * myl - 0.5 * gy2
-                    d_logop = g1
-                    dvals_ext = jax.lax.dot_general(
-                        g_ext, wgt, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # (1 + n_val, chunk): row 0 = d(ONE row), rest
-                    parts = [dmx, dmy, d_ca, d_cb, d_cc, d_logop,
-                             dvals_ext[0:1, :],
-                             jnp.zeros((1, PAIR_CHUNK), jnp.float32),
-                             dvals_ext[1:, :]]
-                    pad_rows = f_pad - GEOM_COLS - n_val
-                    if pad_rows:
-                        parts.append(jnp.zeros((pad_rows, PAIR_CHUNK),
-                                               jnp.float32))
-                    obuf[os] = jnp.concatenate(parts, axis=0)
-                    prefix[...] = prefix[...] + s_tot
-                    tcarry[...] = jnp.exp(
-                        cum[:, last:last + 1]) * tcarry[...]
+        odma(os, w).start()
+        state[1 + os] = w
+        state[0] = 1 - os
 
-                @pl.when(jnp.logical_not(alive))
-                def _():
-                    obuf[os] = jnp.zeros((f_pad, PAIR_CHUNK), jnp.float32)
+    _superblock_walk(w_lo, w_hi, payload_hbm, pbuf, psem, tbuf, tsem,
+                     pass1)
+    _superblock_walk(w_lo, w_hi, payload_hbm, pbuf, psem, tbuf, tsem,
+                     pass2)
 
-                odma(os, blk).start()
-                state[1 + os] = blk
-                state[0] = 1 - os
-
-            @pl.when(jnp.logical_and(jnp.logical_not(is_p2), alive))
-            def _():
-                block_t = pbuf[slot]
-                raw, *_ = _splat_raw(block_t, t, tw)
-                ok = raw >= LOG_ALPHA_EPS
-                alpha = jnp.where(
-                    ok, jnp.exp(jnp.minimum(raw, LOG_ALPHA_MAX)), 0.0)
-                lg = jnp.log1p(-alpha)
-                cum = _dot(lg, scan_upper)
-                incl = jnp.exp(cum) * tcarry[...]
-                excl = incl / (1.0 - alpha)
-                wgt = jnp.where(incl >= T_EPS, alpha * excl, 0.0)
-                vals_ext = jnp.concatenate(
-                    [block_t[6:7, :],
-                     block_t[GEOM_COLS:GEOM_COLS + n_val, :]], axis=0)
-                g_ext = g_ref[0, t - gi * group]
-                qw = _dot(g_ext, vals_ext) * wgt
-                s_incl = _dot(qw, scan_upper)
-                stot[...] = stot[...] + s_incl[:, last:last + 1]
-                tcarry[...] = jnp.exp(cum[:, last:last + 1]) * tcarry[...]
-
-            return carry
-
-        jax.lax.fori_loop(v_lo, v_hi, body, 0)
-
-        for s in range(2):
-            @pl.when(state[1 + s] >= 0)
-            def _(s=s):
-                odma(s, state[1 + s]).wait()
+    for s in range(2):
+        @pl.when(state[1 + s] >= 0)
+        def _(s=s):
+            odma(s, state[1 + s]).wait()
 
 
 def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val, group,
@@ -606,8 +615,10 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val, group,
             (1, group, PIX, c_out), lambda g, *_: (g, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, f_pad, PAIR_CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.VMEM((2, f_pad, SUPER * PAIR_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((f_pad, PAIR_CHUNK), jnp.float32),  # tail buf
+            pltpu.SemaphoreType.DMA(()),
             pltpu.VMEM((PIX, 1), jnp.float32),
         ],
     )
@@ -624,44 +635,14 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val, group,
     )(layout.group_start, layout.meta_t, sorted_payload)
 
 
-def _build_visits(layout, num_tiles: int):
-    """Backward visit stream: each tile's windows twice (pass 1 totals,
-    pass 2 gradients), grouped like the forward. Pure index arithmetic
-    at 2*S_cap size."""
-    win_start = layout.win_start  # (T_gpad + 1,)
-    t_pad = win_start.shape[0] - 1
-    s_cap = layout.meta_t.shape[0]
-    total_win = layout.total_win
-    nwin = win_start[1:] - win_start[:-1]  # (T_gpad,)
-    vcum = 2 * win_start[1:]  # cumulative visits (= 2 * cum windows)
-
-    v_cap = 2 * s_cap
-    vi = jnp.arange(v_cap, dtype=jnp.int32)
-    vt = jnp.searchsorted(vcum, vi, side="right",
-                          method="scan_unrolled").astype(jnp.int32)
-    vt_c = jnp.minimum(vt, t_pad - 1)
-    j = vi - 2 * win_start[vt_c]
-    p2 = j >= nwin[vt_c]
-    w = win_start[vt_c] + jnp.where(p2, j - nwin[vt_c], j)
-    in_range = vi < 2 * total_win
-    vwin = jnp.where(in_range, w, 0)
-    first = (w == win_start[vt_c]) & in_range
-    vmeta = jnp.where(in_range, vt_c * 2 + first.astype(jnp.int32),
-                      num_tiles * 2)
-    vpass = jnp.where(in_range, p2.astype(jnp.int32), 1)
-    vgroup_start = 2 * layout.group_start
-    return vgroup_start, vwin, vmeta, vpass
-
-
 def _backward_impl(sorted_payload, layout, g, *, num_tiles, tw, n_val,
                    group, interpret):
     f_pad, p_cols = sorted_payload.shape
     ngroups = layout.group_start.shape[0] - 1
     c_out = n_val + 1
-    vgroup_start, vwin, vmeta, vpass = _build_visits(layout, num_tiles)
     g4 = g.reshape(ngroups, group, PIX, c_out)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(ngroups,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -671,12 +652,15 @@ def _backward_impl(sorted_payload, layout, g, *, num_tiles, tw, n_val,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, f_pad, PAIR_CHUNK), jnp.float32),  # pbuf
-            pltpu.SemaphoreType.DMA((NBUF,)),  # psem
+            pltpu.VMEM((2, f_pad, SUPER * PAIR_CHUNK),
+                       jnp.float32),  # pbuf
+            pltpu.SemaphoreType.DMA((2,)),  # psem
             pltpu.VMEM((2, f_pad, PAIR_CHUNK), jnp.float32),  # obuf
             pltpu.SemaphoreType.DMA((2,)),  # osem
+            pltpu.VMEM((f_pad, PAIR_CHUNK), jnp.float32),  # tail buf
+            pltpu.SemaphoreType.DMA(()),  # tail sem
+            pltpu.VMEM((group, PIX, 1), jnp.float32),  # stot_all
             pltpu.VMEM((PIX, 1), jnp.float32),  # tcarry
-            pltpu.VMEM((PIX, 1), jnp.float32),  # stot
             pltpu.VMEM((PIX, 1), jnp.float32),  # prefix
             pltpu.SMEM((4,), jnp.int32),  # state
         ],
@@ -692,7 +676,7 @@ def _backward_impl(sorted_payload, layout, g, *, num_tiles, tw, n_val,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True),
-    )(vgroup_start, vwin, vmeta, vpass, sorted_payload, g4)
+    )(layout.group_start, layout.meta_t, sorted_payload, g4)
 
 
 def _gather_padded(payload, sorted_gauss, src_slot):
