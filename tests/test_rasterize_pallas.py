@@ -128,16 +128,20 @@ class TestWindowLayout:
         np.testing.assert_array_equal(gs, ws[::group])
         assert gs[-1] == total_win
 
-        # meta: occupied windows carry their tile + a first flag exactly
-        # at the tile's window start; tail windows carry the sentinel
+        # meta packs tile<<9 | first<<8 | cnt: occupied windows carry
+        # their tile + a first flag exactly at the tile's window start
+        # + the valid-lane count; tail windows carry the sentinel
         for w in range(s_cap):
             if w < total_win:
                 t = int(np.searchsorted(ws[1:num_tiles + 1], w,
                                         side="right"))
-                assert mt[w] // 2 == t
-                assert (mt[w] % 2 == 1) == (w == ws[t])
+                assert mt[w] >> 9 == t
+                assert ((mt[w] >> 8) & 1 == 1) == (w == ws[t])
+                cnt = mt[w] & 255
+                valid_in_w = (sg[w] != n).sum()
+                assert cnt == valid_in_w
             else:
-                assert mt[w] == num_tiles * 2
+                assert mt[w] == num_tiles << 9
 
         # slots: values in [0, n]; per tile, valid slots form a prefix
         # of its window span and are depth-ordered (quantized key);

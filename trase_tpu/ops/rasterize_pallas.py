@@ -129,7 +129,8 @@ def _cumsum_small(x: jnp.ndarray) -> jnp.ndarray:
 class WindowLayout(NamedTuple):
     """Static-shape binning metadata shared by the kernels (all int32)."""
 
-    meta_t: jnp.ndarray  # (S_cap,) tile*2 + first-window-of-tile flag
+    meta_t: jnp.ndarray  # (S_cap,) tile<<9 | first<<8 | valid-lane count
+    win_off: jnp.ndarray  # (S_cap,) window start in sorted-pair space
     win_start: jnp.ndarray  # (T_gpad+1,) first window of each tile
     group_start: jnp.ndarray  # (ngroups+1,) first window of each group
     total_win: jnp.ndarray  # () number of occupied windows
@@ -256,14 +257,22 @@ def build_window_layout(proj: ProjectedGaussians, image_height: int,
     wt_c = jnp.minimum(wt, num_tiles - 1)
     in_range = widx < total_win
     first = (widx == wstart[wt_c]) & in_range
-    meta_t = jnp.where(in_range, wt_c * 2 + first.astype(jnp.int32),
-                       num_tiles * 2)
+    # window start in sorted-pair space + valid-lane count; meta packs
+    # tile<<9 | first<<8 | cnt so the kernels read ONE scalar per window
+    off = a[wt_c] + (widx - wstart[wt_c]) * chunk  # (s_cap,)
+    cnt = jnp.clip(b[wt_c] - off, 0, chunk)
+    win_off = jnp.where(in_range, off, 0)
+    meta_t = jnp.where(
+        in_range,
+        (wt_c << 9) | (first.astype(jnp.int32) << 8) | cnt,
+        num_tiles << 9)
 
-    # Per-slot source positions: window w's 128 lanes cover the tile's
-    # sorted pairs [a + (w - wstart)*chunk, b), sentinel nk beyond.
+    # Per-slot source positions for the aligned-padded backward path:
+    # window w's 128 lanes cover the tile's sorted pairs
+    # [off, off + cnt), sentinel nk beyond. Pure arithmetic — unused
+    # (and dead-code-eliminated) in the forward-only path.
     lane = jnp.arange(chunk, dtype=jnp.int32)[None, :]
-    src = (a[wt_c][:, None]
-           + (widx - wstart[wt_c])[:, None] * chunk + lane)  # (s_cap, chunk)
+    src = off[:, None] + lane  # (s_cap, chunk)
     svalid = in_range[:, None] & (src < b[wt_c][:, None])
     src_slot = jnp.where(svalid, src, nk).ravel()
 
@@ -273,7 +282,8 @@ def build_window_layout(proj: ProjectedGaussians, image_height: int,
         [wstart, jnp.full((t_gpad + 1 - num_tiles,), total_win,
                           jnp.int32)])
     group_start = wstart_pad[::group]
-    layout = WindowLayout(meta_t=meta_t, win_start=wstart_pad,
+    layout = WindowLayout(meta_t=meta_t, win_off=win_off,
+                          win_start=wstart_pad,
                           group_start=group_start, total_win=total_win)
     return sorted_gauss, src_slot, layout, overflow
 
@@ -382,14 +392,24 @@ def _superblock_walk(w_lo, w_hi, payload_hbm, pbuf, psem, tbuf, tsem,
     jax.lax.fori_loop(w_lo + nsb * SUPER, w_hi, tail_body, 0)
 
 
-def _fwd_group_kernel(gstart_ref, metat_ref, payload_hbm, out_ref, pbuf,
-                      psem, tbuf, tsem, logt, *, n_val: int, tw: int,
-                      group: int, num_tiles: int):
+SPAN = (SUPER + 1) * PAIR_CHUNK  # superblock fetch width in lanes
+
+
+def _fwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
+                      out_ref, pbuf, psem, tbuf, tsem, logt, *,
+                      n_val: int, tw: int, group: int, num_tiles: int):
     """One grid step = one group of `group` consecutive tiles.
 
-    Superblocked window walk (see _superblock_walk); the group's
-    (group, PIX, c_out) output accumulates in the VMEM out block with
-    dynamic per-tile indexing, the per-tile log-transmittance carry in
+    Reads the PAIR-ORDERED payload directly: window w covers sorted
+    pairs [win_off[w], +cnt) at an arbitrary (unaligned) offset, so
+    the aligned-slot relayout gather disappears from the forward path
+    entirely. Any SUPER consecutive windows span <= SUPER*128 pairs,
+    so one aligned (f_pad, SPAN) DMA covers a superblock; each window
+    is extracted with a dynamic lane rotate (positive shifts only —
+    negative dynamic shifts mis-lower) + static slice, and lanes
+    beyond the window's valid count are masked (they belong to the
+    next tile). The group's (group, PIX, c_out) output accumulates in
+    the VMEM out block; the per-tile log-transmittance carry lives in
     a (PIX, 1) scratch.
     """
     gi = pl.program_id(0)
@@ -397,11 +417,26 @@ def _fwd_group_kernel(gstart_ref, metat_ref, payload_hbm, out_ref, pbuf,
     w_hi = gstart_ref[gi + 1]
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
     scan_upper = _scan_upper()
+    nsb = (w_hi - w_lo) // SUPER
 
-    def process(block_t, w):
+    def base_of(w):
+        return (woff_ref[w] // PAIR_CHUNK) * PAIR_CHUNK
+
+    def sdma(slot, sb):
+        return pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(base_of(w_lo + sb * SUPER), SPAN)],
+            pbuf.at[slot], psem.at[slot])
+
+    def tdma(w):
+        return pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(base_of(w), 2 * PAIR_CHUNK)],
+            tbuf, tsem)
+
+    def process(get_block, w):
         mt = metat_ref[w]
-        t = mt // 2
-        first = mt - 2 * t
+        t = mt >> 9
+        first = (mt >> 8) & 1
+        cnt = mt & 255
 
         @pl.when(first == 1)
         def _():
@@ -409,9 +444,12 @@ def _fwd_group_kernel(gstart_ref, metat_ref, payload_hbm, out_ref, pbuf,
 
         @pl.when(jnp.max(logt[...]) >= LOG_T_EPS)
         def _():
+            block_t = get_block()
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR_CHUNK), 1)
+            okl = lane < cnt
             raw, *_ = _splat_raw(block_t, t, tw)
             alpha_log = jnp.minimum(raw, LOG_ALPHA_MAX)  # (PIX, chunk)
-            ok = alpha_log >= LOG_ALPHA_EPS
+            ok = (alpha_log >= LOG_ALPHA_EPS) & okl
             alpha = jnp.where(ok, jnp.exp(alpha_log), 0.0)
             lg = jnp.log1p(-alpha)
             cum_incl = _dot(lg, scan_upper)
@@ -429,15 +467,55 @@ def _fwd_group_kernel(gstart_ref, metat_ref, payload_hbm, out_ref, pbuf,
                 preferred_element_type=jnp.float32,
             )  # (PIX, 1 + n_val)
             # full-window log(1-alpha) total = last lane of the
-            # inclusive scan (padding lanes contribute lg == 0) —
+            # inclusive scan (masked lanes contribute lg == 0) —
             # a lane extract, not another row-rate-bound matmul.
             tot = cum_incl[:, PAIR_CHUNK - 1:PAIR_CHUNK]  # (PIX, 1)
             tx = t - gi * group
             out_ref[0, tx] = out_ref[0, tx] + contrib
             logt[...] = logt[...] + tot
 
-    _superblock_walk(w_lo, w_hi, payload_hbm, pbuf, psem, tbuf, tsem,
-                     process)
+    @pl.when(nsb > 0)
+    def _():
+        sdma(0, 0).start()
+
+        def body(sb, carry):
+            slot = jax.lax.rem(sb, 2)
+
+            @pl.when(sb + 1 < nsb)
+            def _():
+                sdma(jax.lax.rem(sb + 1, 2), sb + 1).start()
+
+            sdma(slot, sb).wait()
+            w0 = w_lo + sb * SUPER
+            base = base_of(w0)
+            for j in range(SUPER):
+                w = w0 + j
+
+                def get_block(w=w, slot=slot, base=base):
+                    shift = jax.lax.rem(
+                        SPAN - (woff_ref[w] - base), SPAN)
+                    return pltpu.roll(pbuf[slot], shift,
+                                      axis=1)[:, :PAIR_CHUNK]
+
+                process(get_block, w)
+            return carry
+
+        jax.lax.fori_loop(0, nsb, body, 0)
+
+    def tail_body(w, carry):
+        tdma(w).start()
+        tdma(w).wait()
+
+        def get_block(w=w):
+            # roll the 2-block tail buffer, take the leading window
+            off_l = woff_ref[w] - base_of(w)
+            shift = jax.lax.rem(2 * PAIR_CHUNK - off_l, 2 * PAIR_CHUNK)
+            return pltpu.roll(tbuf[...], shift, axis=1)[:, :PAIR_CHUNK]
+
+        process(get_block, w)
+        return carry
+
+    jax.lax.fori_loop(w_lo + nsb * SUPER, w_hi, tail_body, 0)
 
 
 def _bwd_group_kernel(gstart_ref, metat_ref, payload_hbm, g_ref,
@@ -478,8 +556,8 @@ def _bwd_group_kernel(gstart_ref, metat_ref, payload_hbm, g_ref,
 
     def pass1(block_t, w):
         mt = metat_ref[w]
-        t = mt // 2
-        first = mt - 2 * t
+        t = mt >> 9
+        first = (mt >> 8) & 1
         tx = t - gi * group
 
         @pl.when(first == 1)
@@ -509,8 +587,8 @@ def _bwd_group_kernel(gstart_ref, metat_ref, payload_hbm, g_ref,
 
     def pass2(block_t, w):
         mt = metat_ref[w]
-        t = mt // 2
-        first = mt - 2 * t
+        t = mt >> 9
+        first = (mt >> 8) & 1
         tx = t - gi * group
 
         @pl.when(first == 1)
@@ -608,16 +686,16 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val, group,
     ngroups = (layout.group_start.shape[0] - 1)
     c_out = n_val + 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(ngroups,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
             (1, group, PIX, c_out), lambda g, *_: (g, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, f_pad, SUPER * PAIR_CHUNK), jnp.float32),
+            pltpu.VMEM((2, f_pad, SPAN), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((f_pad, PAIR_CHUNK), jnp.float32),  # tail buf
+            pltpu.VMEM((f_pad, 2 * PAIR_CHUNK), jnp.float32),  # tail
             pltpu.SemaphoreType.DMA(()),
             pltpu.VMEM((PIX, 1), jnp.float32),
         ],
@@ -632,7 +710,7 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val, group,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(layout.group_start, layout.meta_t, sorted_payload)
+    )(layout.group_start, layout.meta_t, layout.win_off, sorted_payload)
 
 
 def _backward_impl(sorted_payload, layout, g, *, num_tiles, tw, n_val,
@@ -679,16 +757,18 @@ def _backward_impl(sorted_payload, layout, g, *, num_tiles, tw, n_val,
     )(layout.group_start, layout.meta_t, sorted_payload, g4)
 
 
-def _gather_padded(payload, sorted_gauss, src_slot):
-    """(N+1, f_pad) table -> transposed padded-slot payload.
+def _gather_pairs(payload, sorted_gauss):
+    """(N+1, f_pad) table -> transposed pair-ordered payload.
 
-    Two row gathers: pair order (nk rows), then the aligned slot
-    relayout (slot_cap rows) with the dead row (payload[-1]) filling
-    padding slots via the appended sentinel row.
+    ONE row gather into sorted-pair order plus a SPAN-wide zero tail
+    (superblock fetches may run past the last pair). The forward
+    kernel reads windows at unaligned offsets directly from this via
+    dynamic lane rotates — no aligned-slot relayout.
     """
     ps = payload[sorted_gauss]  # (nk, f_pad) — pair order
-    ps_ext = jnp.concatenate([ps, payload[-1:]], axis=0)  # nk = dead
-    return ps_ext[src_slot].T  # (f_pad, slot_cap)
+    f_pad = payload.shape[1]
+    return ps, jnp.concatenate(
+        [ps.T, jnp.zeros((f_pad, SPAN), payload.dtype)], axis=1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -697,36 +777,41 @@ def pallas_composite(static_cfg, payload, sorted_gauss, src_slot, layout):
 
     static_cfg = (num_tiles, tw, n_val, group, interpret). payload is
     the (N + 1, f_pad) per-gaussian table (dead row last);
-    sorted_gauss / src_slot the layout's index maps. Output channel 0
-    is the alpha total, channels 1.. the composited values.
-    Differentiable in payload — the backward runs the Pallas gradient
-    kernel, then reduces the per-slot gradients over each gaussian's
-    slots.
+    sorted_gauss / src_slot the layout's index maps (src_slot is used
+    only by the backward — dead code in inference jits). Output
+    channel 0 is the alpha total, channels 1.. the composited values.
+    Differentiable in payload — the backward materializes the
+    aligned-padded slot payload, runs the Pallas gradient kernel, then
+    reduces the per-slot gradients over each gaussian's slots.
     """
     num_tiles, tw, n_val, group, interpret = static_cfg
-    sp = _gather_padded(payload, sorted_gauss, src_slot)
-    out = _forward_impl(sp, layout, num_tiles=num_tiles, tw=tw,
+    _, ps_t = _gather_pairs(payload, sorted_gauss)
+    out = _forward_impl(ps_t, layout, num_tiles=num_tiles, tw=tw,
                         n_val=n_val, group=group, interpret=interpret)
     return out.reshape(-1, PIX, n_val + 1)
 
 
 def _pc_fwd(static_cfg, payload, sorted_gauss, src_slot, layout):
     num_tiles, tw, n_val, group, interpret = static_cfg
-    sp = _gather_padded(payload, sorted_gauss, src_slot)
-    out = _forward_impl(sp, layout, num_tiles=num_tiles, tw=tw,
+    ps, ps_t = _gather_pairs(payload, sorted_gauss)
+    out = _forward_impl(ps_t, layout, num_tiles=num_tiles, tw=tw,
                         n_val=n_val, group=group, interpret=interpret)
     return (out.reshape(-1, PIX, n_val + 1),
-            (sp, sorted_gauss, src_slot, layout, payload.shape[0]))
+            (ps, sorted_gauss, src_slot, layout, payload.shape[0]))
 
 
 def _pc_bwd(static_cfg, res, g):
     num_tiles, tw, n_val, group, interpret = static_cfg
-    sp, sorted_gauss, src_slot, layout, n_rows = res
+    ps, sorted_gauss, src_slot, layout, n_rows = res
+    f_pad = ps.shape[1]
+    # Aligned-padded slot payload for the gradient kernel (training-
+    # only cost): dead row fills the padding slots.
+    dead = jnp.zeros((1, f_pad), ps.dtype).at[0, 5].set(LOG_ZERO)
+    sp = jnp.concatenate([ps, dead], axis=0)[src_slot].T
     dpay = _backward_impl(sp, layout, g, num_tiles=num_tiles, tw=tw,
                           n_val=n_val, group=group, interpret=interpret)
     # Un-sort: scatter-add per-slot gradients over each gaussian's
     # slots (padding slots land on the dead row, dropped upstream).
-    # Composed index map materialized here — training-only cost.
     sg_ext = jnp.concatenate(
         [sorted_gauss,
          jnp.full((1,), n_rows - 1, sorted_gauss.dtype)])
