@@ -121,11 +121,13 @@ class TestWindowLayout:
         sg = np.asarray(sg_pad).reshape(s_cap, chunk)
 
         # bookkeeping: win_start nondecreasing, capped at total_win;
-        # group_start is its stride view
+        # group_start = window starts of each 16-tile row segment
         assert ws[0] == 0 and ws[num_tiles] == total_win
         assert (np.diff(ws) >= 0).all()
-        group = max(int(cfg.tile_group), 1)
-        np.testing.assert_array_equal(gs, ws[::group])
+        gxn = -(-tw // 16)
+        g = np.arange(th * gxn)
+        tile_lo = (g // gxn) * tw + (g % gxn) * 16
+        np.testing.assert_array_equal(gs[:-1], ws[tile_lo])
         assert gs[-1] == total_win
 
         # meta packs tile<<9 | first<<8 | cnt: occupied windows carry
@@ -165,6 +167,23 @@ class TestWindowLayout:
         # no gaussian binned more than its K pair budget
         assert per_gauss_count[:n].max() <= cfg.pairs_per_gaussian
         assert per_gauss_count.sum() <= nk
+
+    def test_fused_deform_matches_flax(self):
+        from trase_tpu.models.deform import (
+            deform_step, init_deform, make_deform_network,
+        )
+        net = make_deform_network("DeformNetwork")
+        dvars = init_deform(jax.random.PRNGKey(0), net)
+        rng = np.random.default_rng(0)
+        xyz = jnp.asarray(rng.normal(size=(300, 3)), jnp.float32)
+        t = jnp.full((300, 1), 0.42, jnp.float32)
+        ref = deform_step(net, dvars, xyz, t)
+        fus = deform_step(net, dvars, xyz, t, fused=True)
+        for a, b in zip(ref, fus):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-6
+            # bf16 hidden stack (same budget as the flax bf16 path)
+            assert np.abs(a - b).max() / scale < 2e-2
 
     def test_bf16_deform_close(self):
         from trase_tpu.models.deform import (

@@ -22,14 +22,22 @@ from ..utils.rigid import exp_se3
 
 
 def frequency_embed(x: jnp.ndarray, num_freqs: int) -> jnp.ndarray:
-    """[x, sin(2^0 x), cos(2^0 x), ..., sin(2^(F-1) x), cos(2^(F-1) x)]."""
+    """[x | sin(2^0 x)..sin(2^(F-1) x) | cos(2^0 x)..cos(2^(F-1) x)].
+
+    Same feature SET as the reference embedder (utils/time_utils.py:
+    9-57) but in BLOCK order instead of the reference's per-frequency
+    sin/cos interleave: the interleave is a pure lane relayout on TPU
+    (~1 ms at 131k points) that the first Dense layer absorbs for
+    free. Since weights are learned, the order is an internal
+    convention; importing a reference deform checkpoint requires
+    permuting the first Dense's rows: reference row 1*D + (2k+j)*D + d
+    (j=0 sin, j=1 cos) -> ours D + j*F*D + k*D + d.
+    """
     if num_freqs <= 0:
         return x
     freqs = 2.0 ** jnp.arange(num_freqs, dtype=x.dtype)
-    xs = x[..., None, :] * freqs[:, None]  # (..., F, D)
-    enc = jnp.stack([jnp.sin(xs), jnp.cos(xs)], axis=-2)  # (..., F, 2, D)
-    enc = enc.reshape(*x.shape[:-1], -1)
-    return jnp.concatenate([x, enc], axis=-1)
+    xs = (x[..., None, :] * freqs[:, None]).reshape(*x.shape[:-1], -1)
+    return jnp.concatenate([x, jnp.sin(xs), jnp.cos(xs)], axis=-1)
 
 
 def embed_dim(input_dim: int, num_freqs: int) -> int:
@@ -124,12 +132,25 @@ def init_deform(rng, model: DeformNetwork, n: int = 4):
 
 
 def deform_step(model: DeformNetwork, variables, xyz, t, features=None,
-                dtype=None):
+                dtype=None, fused=False):
     """Functional `DeformModel.step` (scene/deform_model.py:34-35).
 
     `dtype=jnp.bfloat16` runs the hidden stack in bf16 (inference /
-    viewer path); params and outputs stay float32.
+    viewer path); params and outputs stay float32. `fused=True` routes
+    the standard architecture through the VMEM-resident Pallas MLP
+    kernel (ops/mlp_pallas.py) — inference only; falls back to the
+    flax apply for variants the kernel doesn't cover.
     """
+    if fused and features is None:
+        from ..ops.mlp_pallas import fused_available, fused_deform_mlp
+
+        if fused_available(model):
+            emb = jnp.concatenate(
+                [frequency_embed(xyz, model.multires),
+                 frequency_embed(t, model.t_multires)], axis=-1)
+            interp = not jax.default_backend().startswith("tpu")
+            return fused_deform_mlp(variables["params"], emb,
+                                    interpret=interp)
     if dtype is not None and dtype != model.dtype:
         model = model.clone(dtype=dtype)
     if model.feature_dim:

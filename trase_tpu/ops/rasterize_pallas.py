@@ -131,7 +131,7 @@ class WindowLayout(NamedTuple):
 
     meta_t: jnp.ndarray  # (S_cap,) tile<<9 | first<<8 | valid-lane count
     win_off: jnp.ndarray  # (S_cap,) window start in sorted-pair space
-    win_start: jnp.ndarray  # (T_gpad+1,) first window of each tile
+    win_start: jnp.ndarray  # (T+1,) first window of each tile
     group_start: jnp.ndarray  # (ngroups+1,) first window of each group
     total_win: jnp.ndarray  # () number of occupied windows
 
@@ -276,12 +276,18 @@ def build_window_layout(proj: ProjectedGaussians, image_height: int,
     svalid = in_range[:, None] & (src < b[wt_c][:, None])
     src_slot = jnp.where(svalid, src, nk).ravel()
 
-    group = max(int(cfg.tile_group), 1)
-    t_gpad = -(-num_tiles // group) * group
+    # Groups = 16-tile row segments: group (r, gx) covers tiles
+    # [r*tw + gx*16, r*tw + min(gx*16+16, tw)), so each group's output
+    # block is one (16, 256, 16, c) IMAGE patch — assembly becomes a
+    # free reshape instead of two full-image transposes.
+    gxn = -(-tw // TILE)
+    ngroups = th * gxn
+    g = jnp.arange(ngroups, dtype=jnp.int32)
+    tile_lo = (g // gxn) * tw + (g % gxn) * TILE
     wstart_pad = jnp.concatenate(
-        [wstart, jnp.full((t_gpad + 1 - num_tiles,), total_win,
-                          jnp.int32)])
-    group_start = wstart_pad[::group]
+        [wstart, jnp.full((1,), total_win, jnp.int32)])
+    group_start = jnp.concatenate(
+        [wstart_pad[tile_lo], total_win[None]])
     layout = WindowLayout(meta_t=meta_t, win_off=win_off,
                           win_start=wstart_pad,
                           group_start=group_start, total_win=total_win)
@@ -397,7 +403,7 @@ SPAN = (SUPER + 1) * PAIR_CHUNK  # superblock fetch width in lanes
 
 def _fwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
                       out_ref, pbuf, psem, tbuf, tsem, logt, *,
-                      n_val: int, tw: int, group: int, num_tiles: int):
+                      n_val: int, tw: int, gxn: int, num_tiles: int):
     """One grid step = one group of `group` consecutive tiles.
 
     Reads the PAIR-ORDERED payload directly: window w covers sorted
@@ -415,6 +421,7 @@ def _fwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
     gi = pl.program_id(0)
     w_lo = gstart_ref[gi]
     w_hi = gstart_ref[gi + 1]
+    tile_lo = (gi // gxn) * tw + (gi % gxn) * TILE
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
     scan_upper = _scan_upper()
     nsb = (w_hi - w_lo) // SUPER
@@ -470,8 +477,11 @@ def _fwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
             # inclusive scan (masked lanes contribute lg == 0) —
             # a lane extract, not another row-rate-bound matmul.
             tot = cum_incl[:, PAIR_CHUNK - 1:PAIR_CHUNK]  # (PIX, 1)
-            tx = t - gi * group
-            out_ref[0, tx] = out_ref[0, tx] + contrib
+            tx = t - tile_lo
+            # out block is an image patch (16y, 16tiles, 16x, c):
+            # pix = y*16 + x splits for free on the sublane side
+            upd = contrib.reshape(TILE, TILE, 1 + n_val)
+            out_ref[0, :, tx, :, :] = out_ref[0, :, tx, :, :] + upd
             logt[...] = logt[...] + tot
 
     @pl.when(nsb > 0)
@@ -521,7 +531,7 @@ def _fwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
 def _bwd_group_kernel(gstart_ref, metat_ref, payload_hbm, g_ref,
                       dpay_hbm, pbuf, psem, obuf, osem, tbuf, tsem,
                       stot_all, tcarry, prefix, state, *, n_val: int,
-                      tw: int, group: int, num_tiles: int, f_pad: int):
+                      tw: int, gxn: int, num_tiles: int, f_pad: int):
     """Backward over one tile group: two superblocked passes.
 
     Pass 1 walks the group's windows [w_lo, w_hi) accumulating each
@@ -541,6 +551,7 @@ def _bwd_group_kernel(gstart_ref, metat_ref, payload_hbm, g_ref,
     gi = pl.program_id(0)
     w_lo = gstart_ref[gi]
     w_hi = gstart_ref[gi + 1]
+    tile_lo = (gi // gxn) * tw + (gi % gxn) * TILE
     state[0] = 0
     state[1] = -1
     state[2] = -1
@@ -558,7 +569,7 @@ def _bwd_group_kernel(gstart_ref, metat_ref, payload_hbm, g_ref,
         mt = metat_ref[w]
         t = mt >> 9
         first = (mt >> 8) & 1
-        tx = t - gi * group
+        tx = t - tile_lo
 
         @pl.when(first == 1)
         def _():
@@ -579,7 +590,7 @@ def _bwd_group_kernel(gstart_ref, metat_ref, payload_hbm, g_ref,
             vals_ext = jnp.concatenate(
                 [block_t[6:7, :],
                  block_t[GEOM_COLS:GEOM_COLS + n_val, :]], axis=0)
-            g_ext = g_ref[0, tx]
+            g_ext = g_ref[0, :, tx, :, :].reshape(PIX, 1 + n_val)
             qw = _dot(g_ext, vals_ext) * wgt
             s_incl = _dot(qw, scan_upper)
             stot_all[tx] = stot_all[tx] + s_incl[:, last:last + 1]
@@ -589,7 +600,7 @@ def _bwd_group_kernel(gstart_ref, metat_ref, payload_hbm, g_ref,
         mt = metat_ref[w]
         t = mt >> 9
         first = (mt >> 8) & 1
-        tx = t - gi * group
+        tx = t - tile_lo
 
         @pl.when(first == 1)
         def _():
@@ -617,7 +628,8 @@ def _bwd_group_kernel(gstart_ref, metat_ref, payload_hbm, g_ref,
             vals_ext = jnp.concatenate(
                 [block_t[6:7, :],
                  block_t[GEOM_COLS:GEOM_COLS + n_val, :]], axis=0)
-            g_ext = g_ref[0, tx]  # (PIX, 1 + n_val)
+            g_ext = g_ref[0, :, tx, :, :].reshape(
+                PIX, 1 + n_val)
             q = _dot(g_ext, vals_ext)  # (PIX, chunk)
             qw = q * wgt
             s_incl = _dot(qw, scan_upper)
@@ -680,17 +692,20 @@ def _bwd_group_kernel(gstart_ref, metat_ref, payload_hbm, g_ref,
             odma(s, state[1 + s]).wait()
 
 
-def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val, group,
+def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
                   interpret):
     f_pad, p_cols = sorted_payload.shape
-    ngroups = (layout.group_start.shape[0] - 1)
+    th = num_tiles // tw
+    gxn = -(-tw // TILE)
+    ngroups = th * gxn
     c_out = n_val + 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(ngroups,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, group, PIX, c_out), lambda g, *_: (g, 0, 0, 0),
+            (1, TILE, TILE, TILE, c_out),
+            lambda g, *_: (g // gxn, 0, g % gxn, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, f_pad, SPAN), jnp.float32),
@@ -701,11 +716,11 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val, group,
         ],
     )
     kernel = functools.partial(_fwd_group_kernel, n_val=n_val, tw=tw,
-                               group=group, num_tiles=num_tiles)
+                               gxn=gxn, num_tiles=num_tiles)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((ngroups, group, PIX, c_out),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (th, TILE, gxn * TILE, TILE, c_out), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -714,18 +729,19 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val, group,
 
 
 def _backward_impl(sorted_payload, layout, g, *, num_tiles, tw, n_val,
-                   group, interpret):
+                   interpret):
     f_pad, p_cols = sorted_payload.shape
-    ngroups = layout.group_start.shape[0] - 1
+    th = num_tiles // tw
+    gxn = -(-tw // TILE)
+    ngroups = th * gxn
     c_out = n_val + 1
-    g4 = g.reshape(ngroups, group, PIX, c_out)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ngroups,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, group, PIX, c_out),
-                         lambda gi, *_: (gi, 0, 0, 0),
+            pl.BlockSpec((1, TILE, TILE, TILE, c_out),
+                         lambda gi, *_: (gi // gxn, 0, gi % gxn, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -737,14 +753,14 @@ def _backward_impl(sorted_payload, layout, g, *, num_tiles, tw, n_val,
             pltpu.SemaphoreType.DMA((2,)),  # osem
             pltpu.VMEM((f_pad, PAIR_CHUNK), jnp.float32),  # tail buf
             pltpu.SemaphoreType.DMA(()),  # tail sem
-            pltpu.VMEM((group, PIX, 1), jnp.float32),  # stot_all
+            pltpu.VMEM((TILE, PIX, 1), jnp.float32),  # stot_all
             pltpu.VMEM((PIX, 1), jnp.float32),  # tcarry
             pltpu.VMEM((PIX, 1), jnp.float32),  # prefix
             pltpu.SMEM((4,), jnp.int32),  # state
         ],
     )
     kernel = functools.partial(_bwd_group_kernel, n_val=n_val, tw=tw,
-                               group=group, num_tiles=num_tiles,
+                               gxn=gxn, num_tiles=num_tiles,
                                f_pad=f_pad)
     return pl.pallas_call(
         kernel,
@@ -754,7 +770,7 @@ def _backward_impl(sorted_payload, layout, g, *, num_tiles, tw, n_val,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True),
-    )(layout.group_start, layout.meta_t, sorted_payload, g4)
+    )(layout.group_start, layout.meta_t, sorted_payload, g)
 
 
 def _gather_pairs(payload, sorted_gauss):
@@ -773,35 +789,35 @@ def _gather_pairs(payload, sorted_gauss):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def pallas_composite(static_cfg, payload, sorted_gauss, src_slot, layout):
-    """Gather + composite -> (T_gpad*, PIX, 1 + n_val) accumulations.
+    """Gather + composite -> image-patch accumulations
+    (th, 16, gxn*16, 16, 1 + n_val): axes (tile_row, y, tile_x, x, c),
+    so `reshape(H_pad, W_pad, c)` IS the image — no transposes.
 
-    static_cfg = (num_tiles, tw, n_val, group, interpret). payload is
-    the (N + 1, f_pad) per-gaussian table (dead row last);
-    sorted_gauss / src_slot the layout's index maps (src_slot is used
-    only by the backward — dead code in inference jits). Output
-    channel 0 is the alpha total, channels 1.. the composited values.
-    Differentiable in payload — the backward materializes the
-    aligned-padded slot payload, runs the Pallas gradient kernel, then
-    reduces the per-slot gradients over each gaussian's slots.
+    static_cfg = (num_tiles, tw, n_val, interpret). payload is the
+    (N + 1, f_pad) per-gaussian table (dead row last); sorted_gauss /
+    src_slot the layout's index maps (src_slot is used only by the
+    backward — dead code in inference jits). Output channel 0 is the
+    alpha total, channels 1.. the composited values. Differentiable in
+    payload — the backward materializes the aligned-padded slot
+    payload, runs the Pallas gradient kernel, then reduces the
+    per-slot gradients over each gaussian's slots.
     """
-    num_tiles, tw, n_val, group, interpret = static_cfg
+    num_tiles, tw, n_val, interpret = static_cfg
     _, ps_t = _gather_pairs(payload, sorted_gauss)
-    out = _forward_impl(ps_t, layout, num_tiles=num_tiles, tw=tw,
-                        n_val=n_val, group=group, interpret=interpret)
-    return out.reshape(-1, PIX, n_val + 1)
+    return _forward_impl(ps_t, layout, num_tiles=num_tiles, tw=tw,
+                         n_val=n_val, interpret=interpret)
 
 
 def _pc_fwd(static_cfg, payload, sorted_gauss, src_slot, layout):
-    num_tiles, tw, n_val, group, interpret = static_cfg
+    num_tiles, tw, n_val, interpret = static_cfg
     ps, ps_t = _gather_pairs(payload, sorted_gauss)
     out = _forward_impl(ps_t, layout, num_tiles=num_tiles, tw=tw,
-                        n_val=n_val, group=group, interpret=interpret)
-    return (out.reshape(-1, PIX, n_val + 1),
-            (ps, sorted_gauss, src_slot, layout, payload.shape[0]))
+                        n_val=n_val, interpret=interpret)
+    return out, (ps, sorted_gauss, src_slot, layout, payload.shape[0])
 
 
 def _pc_bwd(static_cfg, res, g):
-    num_tiles, tw, n_val, group, interpret = static_cfg
+    num_tiles, tw, n_val, interpret = static_cfg
     ps, sorted_gauss, src_slot, layout, n_rows = res
     f_pad = ps.shape[1]
     # Aligned-padded slot payload for the gradient kernel (training-
@@ -809,7 +825,7 @@ def _pc_bwd(static_cfg, res, g):
     dead = jnp.zeros((1, f_pad), ps.dtype).at[0, 5].set(LOG_ZERO)
     sp = jnp.concatenate([ps, dead], axis=0)[src_slot].T
     dpay = _backward_impl(sp, layout, g, num_tiles=num_tiles, tw=tw,
-                          n_val=n_val, group=group, interpret=interpret)
+                          n_val=n_val, interpret=interpret)
     # Un-sort: scatter-add per-slot gradients over each gaussian's
     # slots (padding slots land on the dead row, dropped upstream).
     sg_ext = jnp.concatenate(
@@ -870,27 +886,22 @@ def rasterize_tiled_pallas(
     dead = jnp.zeros((1, f_pad), payload.dtype).at[0, 5].set(LOG_ZERO)
     payload = jnp.concatenate([payload, dead], axis=0)  # (N + 1, f_pad)
 
-    group = max(int(cfg.tile_group), 1)
     out = pallas_composite(
-        (num_tiles, tw, n_val, group, interpret), payload, sorted_gauss,
+        (num_tiles, tw, n_val, interpret), payload, sorted_gauss,
         src_slot, layout
-    )[:num_tiles]  # (T, PIX, 1 + n_val)
-    out = out.transpose(0, 2, 1)  # (T, 1 + n_val, PIX)
-
-    acc = out[:, 0, :]
-    img = out[:, 1:, :].reshape(th, tw, n_val, TILE, TILE)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(
-        n_val, th * TILE, tw * TILE)[:, :image_height, :image_width]
-    acc = acc.reshape(th, tw, TILE, TILE).transpose(0, 2, 1, 3).reshape(
-        th * TILE, tw * TILE)[:image_height, :image_width]
-
-    rgb = img[:3] + (1.0 - acc)[None] * bg_color[:, None, None]
+    )  # (th, 16, gxn*16, 16, 1 + n_val) — image patches
+    gxt = out.shape[2] * TILE
+    hwc = out.reshape(th * TILE, gxt, n_val + 1)[
+        :image_height, :image_width]  # free reshape + slice
+    acc = hwc[..., 0]
+    rgb = (hwc[..., 1:4]
+           + (1.0 - acc)[..., None] * bg_color[None, None, :])
     result = {
-        "render": rgb,
-        "depth": img[-1:],
+        "render": rgb.transpose(2, 0, 1),
+        "depth": hwc[..., -1][None],
         "alpha": acc[None],
         "overflow": overflow,
     }
     if extra_channels is not None:
-        result["feats"] = img[3:-1]
+        result["feats"] = hwc[..., 4:-1].transpose(2, 0, 1)
     return result
