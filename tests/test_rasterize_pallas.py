@@ -101,13 +101,18 @@ class TestWindowLayout:
         proj = project(means, scales, quats, colors, opac, cam, H, W)
         cfg = R.RasterConfig(pairs_per_gaussian=8, max_per_tile=256,
                              tile_batch=4)
-        sorted_gauss, src_slot, layout, overflow = RP.build_window_layout(
-            proj, H, W, cfg)
+        sorted_pid, slot_of_sorted, layout, overflow = (
+            RP.build_window_layout(proj, H, W, cfg))
         n_ = proj.mean2d.shape[0]
-        sg_ext = jnp.concatenate(
-            [sorted_gauss, jnp.full((1,), n_, sorted_gauss.dtype)])
-        sg_pad = sg_ext[src_slot]
         chunk = RP.PAIR_CHUNK
+        # reconstruct the per-slot gaussian map from the pair->slot map
+        sorted_gauss = np.asarray(sorted_pid) // cfg.pairs_per_gaussian
+        sos = np.asarray(slot_of_sorted)
+        slot_cap = layout.meta_t.shape[0] * chunk
+        sg_pad_np = np.full(slot_cap, n_, np.int32)
+        valid_p = sos < slot_cap
+        sg_pad_np[sos[valid_p]] = sorted_gauss[valid_p]
+        sg_pad = jnp.asarray(sg_pad_np)
         th, tw = R._tile_grid(H, W)
         num_tiles = th * tw
         n = proj.mean2d.shape[0]

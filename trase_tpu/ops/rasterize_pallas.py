@@ -148,17 +148,14 @@ def build_window_layout(proj: ProjectedGaussians, image_height: int,
 
     Ordering comes from ONE unstable u32 sort on the composite key
     `tile << DEPTH_BITS | quantized_depth` — grouped by tile,
-    front-to-back within each tile. Each tile's sorted range is padded
-    to a PAIR_CHUNK multiple by the slot map `src_slot` (slot_cap =
-    S_cap * chunk,): slot q of window w holds the index INTO THE
-    SORTED PAIR ARRAY of its pair, or nk for padding slots (the
-    composite stage appends a dead row there). Payload block w
-    therefore IS window w: the kernels need only per-window tile
-    metadata and per-group window ranges. Both returned index arrays
-    are pure arithmetic + one rank gather — the expensive payload
-    relayout happens once, inside pallas_composite.
+    front-to-back within each tile; the sort payload is the PAIR id
+    (gaussian = pid // K) so the backward can invert the permutation.
+    Windows cover each tile's sorted range at its natural unaligned
+    offsets (win_off); `slot_of_sorted` maps each sorted pair to its
+    128-aligned gradient slot (window*128 + rank-in-tile) — used only
+    by the backward and dead-code-eliminated in inference jits.
 
-    Returns (sorted_gauss (nk,), src_slot (slot_cap,), WindowLayout,
+    Returns (sorted_pid (nk,), slot_of_sorted (nk,), WindowLayout,
     overflow).
     """
     chunk = PAIR_CHUNK
@@ -234,10 +231,11 @@ def build_window_layout(proj: ProjectedGaussians, image_height: int,
     key = (tile.astype(jnp.uint32) << DEPTH_BITS) | dq[:, None]
     key = jnp.where(pvalid, key,
                     jnp.uint32(num_tiles) << DEPTH_BITS)
-    gauss = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, K))
-    sorted_key, sorted_gauss = jax.lax.sort(
-        (key.ravel(), gauss.ravel()), num_keys=1)
+    # carry the PAIR id through the sort (gaussian id = pid // K): the
+    # backward inverts the permutation with one more sort and folds
+    # per-pair gradients over each gaussian's K slots — no scatter-add
+    pid = jnp.arange(nk, dtype=jnp.int32)
+    sorted_key, sorted_pid = jax.lax.sort((key.ravel(), pid), num_keys=1)
     sorted_tile = (sorted_key >> DEPTH_BITS).astype(jnp.int32)
 
     tile_start = jnp.searchsorted(
@@ -267,14 +265,17 @@ def build_window_layout(proj: ProjectedGaussians, image_height: int,
         (wt_c << 9) | (first.astype(jnp.int32) << 8) | cnt,
         num_tiles << 9)
 
-    # Per-slot source positions for the aligned-padded backward path:
-    # window w's 128 lanes cover the tile's sorted pairs
-    # [off, off + cnt), sentinel nk beyond. Pure arithmetic — unused
-    # (and dead-code-eliminated) in the forward-only path.
-    lane = jnp.arange(chunk, dtype=jnp.int32)[None, :]
-    src = off[:, None] + lane  # (s_cap, chunk)
-    svalid = in_range[:, None] & (src < b[wt_c][:, None])
-    src_slot = jnp.where(svalid, src, nk).ravel()
+    # Sorted-pair -> aligned-slot map for the backward's K-fold
+    # gradient unsort: pair at sorted position p sits in slot
+    # wstart[tile]*chunk + (p - a[tile]); invalid (sentinel) pairs get
+    # the one-past-the-end slot (a zero gradient column). Pure
+    # arithmetic — dead-code-eliminated in forward-only jits.
+    pp = jnp.arange(nk, dtype=jnp.int32)
+    st_c = jnp.minimum(sorted_tile[:nk], num_tiles - 1)
+    pvalid_s = sorted_tile[:nk] < num_tiles
+    slot_cap = s_cap * chunk
+    slot_of_sorted = jnp.where(
+        pvalid_s, wstart[st_c] * chunk + (pp - a[st_c]), slot_cap)
 
     # Groups = 16-tile row segments: group (r, gx) covers tiles
     # [r*tw + gx*16, r*tw + min(gx*16+16, tw)), so each group's output
@@ -291,7 +292,7 @@ def build_window_layout(proj: ProjectedGaussians, image_height: int,
     layout = WindowLayout(meta_t=meta_t, win_off=win_off,
                           win_start=wstart_pad,
                           group_start=group_start, total_win=total_win)
-    return sorted_gauss, src_slot, layout, overflow
+    return sorted_pid, slot_of_sorted, layout, overflow
 
 
 def _scan_upper():
@@ -344,86 +345,22 @@ def _splat_raw(block_t, t, tw):
     return raw, mxl, myl, ca, cb, cc
 
 
-def _superblock_walk(w_lo, w_hi, payload_hbm, pbuf, psem, tbuf, tsem,
-                     process):
-    """Walk windows [w_lo, w_hi) calling process(block_t, w).
-
-    Full SUPER-window superblocks stream through a double-buffered
-    (f_pad, SUPER*chunk) DMA — one issue/wait per 8 windows, windows
-    addressed by STATIC lane slices — then a per-window tail loop
-    covers the remainder. This amortizes the measured ~0.5 us/window
-    DMA issue+wait floor to ~1/8th.
-    """
-    nsb = (w_hi - w_lo) // SUPER
-
-    def sdma(slot, sb):
-        w = w_lo + sb * SUPER
-        return pltpu.make_async_copy(
-            payload_hbm.at[:, pl.ds(w * PAIR_CHUNK, SUPER * PAIR_CHUNK)],
-            pbuf.at[slot], psem.at[slot])
-
-    def tdma(w):
-        return pltpu.make_async_copy(
-            payload_hbm.at[:, pl.ds(w * PAIR_CHUNK, PAIR_CHUNK)],
-            tbuf, tsem)
-
-    @pl.when(nsb > 0)
-    def _():
-        sdma(0, 0).start()
-
-        def body(sb, carry):
-            slot = jax.lax.rem(sb, 2)
-
-            @pl.when(sb + 1 < nsb)
-            def _():
-                sdma(jax.lax.rem(sb + 1, 2), sb + 1).start()
-
-            sdma(slot, sb).wait()
-            base = w_lo + sb * SUPER
-            for j in range(SUPER):
-                process(
-                    pbuf[slot, :,
-                         j * PAIR_CHUNK:(j + 1) * PAIR_CHUNK],
-                    base + j)
-            return carry
-
-        jax.lax.fori_loop(0, nsb, body, 0)
-
-    def tail_body(w, carry):
-        tdma(w).start()
-        tdma(w).wait()
-        process(tbuf[...], w)
-        return carry
-
-    jax.lax.fori_loop(w_lo + nsb * SUPER, w_hi, tail_body, 0)
-
-
 SPAN = (SUPER + 1) * PAIR_CHUNK  # superblock fetch width in lanes
 
 
-def _fwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
-                      out_ref, pbuf, psem, tbuf, tsem, logt, *,
-                      n_val: int, tw: int, gxn: int, num_tiles: int):
-    """One grid step = one group of `group` consecutive tiles.
+def _span_walk(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
+               tsem, process):
+    """Walk windows [w_lo, w_hi) of the PAIR-ORDERED payload, calling
+    process(get_block, w) with a lazy (f_pad, 128) window extractor.
 
-    Reads the PAIR-ORDERED payload directly: window w covers sorted
-    pairs [win_off[w], +cnt) at an arbitrary (unaligned) offset, so
-    the aligned-slot relayout gather disappears from the forward path
-    entirely. Any SUPER consecutive windows span <= SUPER*128 pairs,
-    so one aligned (f_pad, SPAN) DMA covers a superblock; each window
-    is extracted with a dynamic lane rotate (positive shifts only —
-    negative dynamic shifts mis-lower) + static slice, and lanes
-    beyond the window's valid count are masked (they belong to the
-    next tile). The group's (group, PIX, c_out) output accumulates in
-    the VMEM out block; the per-tile log-transmittance carry lives in
-    a (PIX, 1) scratch.
+    Window w covers sorted pairs [win_off[w], +cnt) at an arbitrary
+    (unaligned) offset. Any SUPER consecutive windows span at most
+    SUPER*128 pairs, so one aligned (f_pad, SPAN) DMA covers a
+    superblock (double-buffered, one issue/wait per SUPER windows);
+    each window is extracted with a dynamic lane rotate (positive
+    shifts only — negative dynamic shifts mis-lower in Mosaic) plus a
+    static slice. A per-window tail loop covers the remainder.
     """
-    gi = pl.program_id(0)
-    w_lo = gstart_ref[gi]
-    w_hi = gstart_ref[gi + 1]
-    tile_lo = (gi // gxn) * tw + (gi % gxn) * TILE
-    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
-    scan_upper = _scan_upper()
     nsb = (w_hi - w_lo) // SUPER
 
     def base_of(w):
@@ -438,6 +375,68 @@ def _fwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
         return pltpu.make_async_copy(
             payload_hbm.at[:, pl.ds(base_of(w), 2 * PAIR_CHUNK)],
             tbuf, tsem)
+
+    @pl.when(nsb > 0)
+    def _():
+        sdma(0, 0).start()
+
+        def body(sb, carry):
+            slot = jax.lax.rem(sb, 2)
+
+            @pl.when(sb + 1 < nsb)
+            def _():
+                sdma(jax.lax.rem(sb + 1, 2), sb + 1).start()
+
+            sdma(slot, sb).wait()
+            w0 = w_lo + sb * SUPER
+            base = base_of(w0)
+            for j in range(SUPER):
+                w = w0 + j
+
+                def get_block(w=w, slot=slot, base=base):
+                    shift = jax.lax.rem(
+                        SPAN - (woff_ref[w] - base), SPAN)
+                    return pltpu.roll(pbuf[slot], shift,
+                                      axis=1)[:, :PAIR_CHUNK]
+
+                process(get_block, w)
+            return carry
+
+        jax.lax.fori_loop(0, nsb, body, 0)
+
+    def tail_body(w, carry):
+        tdma(w).start()
+        tdma(w).wait()
+
+        def get_block(w=w):
+            # roll the 2-block tail buffer, take the leading window
+            off_l = woff_ref[w] - base_of(w)
+            shift = jax.lax.rem(2 * PAIR_CHUNK - off_l, 2 * PAIR_CHUNK)
+            return pltpu.roll(tbuf[...], shift, axis=1)[:, :PAIR_CHUNK]
+
+        process(get_block, w)
+        return carry
+
+    jax.lax.fori_loop(w_lo + nsb * SUPER, w_hi, tail_body, 0)
+
+
+def _fwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
+                      out_ref, pbuf, psem, tbuf, tsem, logt, *,
+                      n_val: int, tw: int, gxn: int, num_tiles: int):
+    """One grid step = one group (a 16-tile row segment).
+
+    Reads the pair-ordered payload through the span walker — no
+    aligned-slot relayout exists anywhere in the forward path. The
+    group's output block is an image patch (16y, 16tiles, 16x, c)
+    accumulated in VMEM; the per-tile log-transmittance carry lives in
+    a (PIX, 1) scratch.
+    """
+    gi = pl.program_id(0)
+    w_lo = gstart_ref[gi]
+    w_hi = gstart_ref[gi + 1]
+    tile_lo = (gi // gxn) * tw + (gi % gxn) * TILE
+    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    scan_upper = _scan_upper()
 
     def process(get_block, w):
         mt = metat_ref[w]
@@ -484,54 +483,15 @@ def _fwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
             out_ref[0, :, tx, :, :] = out_ref[0, :, tx, :, :] + upd
             logt[...] = logt[...] + tot
 
-    @pl.when(nsb > 0)
-    def _():
-        sdma(0, 0).start()
-
-        def body(sb, carry):
-            slot = jax.lax.rem(sb, 2)
-
-            @pl.when(sb + 1 < nsb)
-            def _():
-                sdma(jax.lax.rem(sb + 1, 2), sb + 1).start()
-
-            sdma(slot, sb).wait()
-            w0 = w_lo + sb * SUPER
-            base = base_of(w0)
-            for j in range(SUPER):
-                w = w0 + j
-
-                def get_block(w=w, slot=slot, base=base):
-                    shift = jax.lax.rem(
-                        SPAN - (woff_ref[w] - base), SPAN)
-                    return pltpu.roll(pbuf[slot], shift,
-                                      axis=1)[:, :PAIR_CHUNK]
-
-                process(get_block, w)
-            return carry
-
-        jax.lax.fori_loop(0, nsb, body, 0)
-
-    def tail_body(w, carry):
-        tdma(w).start()
-        tdma(w).wait()
-
-        def get_block(w=w):
-            # roll the 2-block tail buffer, take the leading window
-            off_l = woff_ref[w] - base_of(w)
-            shift = jax.lax.rem(2 * PAIR_CHUNK - off_l, 2 * PAIR_CHUNK)
-            return pltpu.roll(tbuf[...], shift, axis=1)[:, :PAIR_CHUNK]
-
-        process(get_block, w)
-        return carry
-
-    jax.lax.fori_loop(w_lo + nsb * SUPER, w_hi, tail_body, 0)
+    _span_walk(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
+               tsem, process)
 
 
-def _bwd_group_kernel(gstart_ref, metat_ref, payload_hbm, g_ref,
-                      dpay_hbm, pbuf, psem, obuf, osem, tbuf, tsem,
-                      stot_all, tcarry, prefix, state, *, n_val: int,
-                      tw: int, gxn: int, num_tiles: int, f_pad: int):
+def _bwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
+                      g_ref, dpay_hbm, pbuf, psem, obuf, osem, tbuf,
+                      tsem, stot_all, tcarry, prefix, state, *,
+                      n_val: int, tw: int, gxn: int, num_tiles: int,
+                      f_pad: int):
     """Backward over one tile group: two superblocked passes.
 
     Pass 1 walks the group's windows [w_lo, w_hi) accumulating each
@@ -539,11 +499,12 @@ def _bwd_group_kernel(gstart_ref, metat_ref, payload_hbm, g_ref,
     slot (and recomputing the transmittance carry). Pass 2 re-walks
     the same contiguous range and emits gradients, using the
     forward-prefix form R_i = S - prefix_i of the suffix accumulator.
-    Both passes stream payload through the shared superblock walker —
-    no visit stream, no per-window DMA floor. With payload blocks 1:1
-    to windows, every pass-2 window owns its gradient block outright:
-    it is staged in a double-buffered VMEM slot and DMA'd straight
-    out — no read-modify-write, no cross-group sharing.
+    Both passes stream the PAIR-ORDERED payload through the shared
+    span walker (no aligned-slot payload is ever materialized); the
+    rolled window view is already slot-aligned, so every pass-2
+    window's gradient block is staged in a double-buffered VMEM slot
+    and DMA'd straight to its aligned slot-block — no
+    read-modify-write, no cross-group sharing.
 
     state (SMEM): [0] = next obuf slot, [1]/[2] = in-flight block of
     slot 0/1 (-1 none).
@@ -565,10 +526,11 @@ def _bwd_group_kernel(gstart_ref, metat_ref, payload_hbm, g_ref,
             dpay_hbm.at[:, pl.ds(blk * PAIR_CHUNK, PAIR_CHUNK)],
             osem.at[slot])
 
-    def pass1(block_t, w):
+    def pass1(get_block, w):
         mt = metat_ref[w]
         t = mt >> 9
         first = (mt >> 8) & 1
+        cnt = mt & 255
         tx = t - tile_lo
 
         @pl.when(first == 1)
@@ -578,8 +540,11 @@ def _bwd_group_kernel(gstart_ref, metat_ref, payload_hbm, g_ref,
 
         @pl.when(jnp.max(tcarry[...]) >= T_EPS)
         def _():
+            block_t = get_block()
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR_CHUNK), 1)
+            okl = lane < cnt
             raw, *_ = _splat_raw(block_t, t, tw)
-            ok = raw >= LOG_ALPHA_EPS
+            ok = (raw >= LOG_ALPHA_EPS) & okl
             alpha = jnp.where(
                 ok, jnp.exp(jnp.minimum(raw, LOG_ALPHA_MAX)), 0.0)
             lg = jnp.log1p(-alpha)
@@ -596,10 +561,11 @@ def _bwd_group_kernel(gstart_ref, metat_ref, payload_hbm, g_ref,
             stot_all[tx] = stot_all[tx] + s_incl[:, last:last + 1]
             tcarry[...] = jnp.exp(cum[:, last:last + 1]) * tcarry[...]
 
-    def pass2(block_t, w):
+    def pass2(get_block, w):
         mt = metat_ref[w]
         t = mt >> 9
         first = (mt >> 8) & 1
+        cnt = mt & 255
         tx = t - tile_lo
 
         @pl.when(first == 1)
@@ -616,9 +582,12 @@ def _bwd_group_kernel(gstart_ref, metat_ref, payload_hbm, g_ref,
 
         @pl.when(alive)
         def _():
+            block_t = get_block()
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR_CHUNK), 1)
+            okl = lane < cnt
             raw, mxl, myl, ca, cb, cc = _splat_raw(block_t, t, tw)
             alpha_log = jnp.minimum(raw, LOG_ALPHA_MAX)
-            ok = raw >= LOG_ALPHA_EPS
+            ok = (raw >= LOG_ALPHA_EPS) & okl
             alpha = jnp.where(ok, jnp.exp(alpha_log), 0.0)
             lg = jnp.log1p(-alpha)
             cum = _dot(lg, scan_upper)
@@ -681,10 +650,10 @@ def _bwd_group_kernel(gstart_ref, metat_ref, payload_hbm, g_ref,
         state[1 + os] = w
         state[0] = 1 - os
 
-    _superblock_walk(w_lo, w_hi, payload_hbm, pbuf, psem, tbuf, tsem,
-                     pass1)
-    _superblock_walk(w_lo, w_hi, payload_hbm, pbuf, psem, tbuf, tsem,
-                     pass2)
+    _span_walk(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
+               tsem, pass1)
+    _span_walk(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
+               tsem, pass2)
 
     for s in range(2):
         @pl.when(state[1 + s] >= 0)
@@ -728,15 +697,15 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
     )(layout.group_start, layout.meta_t, layout.win_off, sorted_payload)
 
 
-def _backward_impl(sorted_payload, layout, g, *, num_tiles, tw, n_val,
-                   interpret):
-    f_pad, p_cols = sorted_payload.shape
+def _backward_impl(ps_t, layout, g, *, num_tiles, tw, n_val, interpret):
+    f_pad = ps_t.shape[0]
     th = num_tiles // tw
     gxn = -(-tw // TILE)
     ngroups = th * gxn
     c_out = n_val + 1
+    s_cap = layout.meta_t.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(ngroups,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -746,12 +715,11 @@ def _backward_impl(sorted_payload, layout, g, *, num_tiles, tw, n_val,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, f_pad, SUPER * PAIR_CHUNK),
-                       jnp.float32),  # pbuf
+            pltpu.VMEM((2, f_pad, SPAN), jnp.float32),  # pbuf
             pltpu.SemaphoreType.DMA((2,)),  # psem
             pltpu.VMEM((2, f_pad, PAIR_CHUNK), jnp.float32),  # obuf
             pltpu.SemaphoreType.DMA((2,)),  # osem
-            pltpu.VMEM((f_pad, PAIR_CHUNK), jnp.float32),  # tail buf
+            pltpu.VMEM((f_pad, 2 * PAIR_CHUNK), jnp.float32),  # tail
             pltpu.SemaphoreType.DMA(()),  # tail sem
             pltpu.VMEM((TILE, PIX, 1), jnp.float32),  # stot_all
             pltpu.VMEM((PIX, 1), jnp.float32),  # tcarry
@@ -764,75 +732,85 @@ def _backward_impl(sorted_payload, layout, g, *, num_tiles, tw, n_val,
                                f_pad=f_pad)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((f_pad, p_cols), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((f_pad, s_cap * PAIR_CHUNK),
+                                       jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True),
-    )(layout.group_start, layout.meta_t, sorted_payload, g)
+    )(layout.group_start, layout.meta_t, layout.win_off, ps_t, g)
 
 
-def _gather_pairs(payload, sorted_gauss):
+def _gather_pairs(payload, sorted_pid):
     """(N+1, f_pad) table -> transposed pair-ordered payload.
 
     ONE row gather into sorted-pair order plus a SPAN-wide zero tail
-    (superblock fetches may run past the last pair). The forward
-    kernel reads windows at unaligned offsets directly from this via
-    dynamic lane rotates — no aligned-slot relayout.
+    (superblock fetches may run past the last pair). Both kernels
+    read windows at unaligned offsets directly from this via dynamic
+    lane rotates — no aligned-slot relayout exists anywhere.
     """
-    ps = payload[sorted_gauss]  # (nk, f_pad) — pair order
+    n = payload.shape[0] - 1
+    k = sorted_pid.shape[0] // n
+    ps = payload[sorted_pid // k]  # (nk, f_pad) — pair order
     f_pad = payload.shape[1]
-    return ps, jnp.concatenate(
+    return jnp.concatenate(
         [ps.T, jnp.zeros((f_pad, SPAN), payload.dtype)], axis=1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def pallas_composite(static_cfg, payload, sorted_gauss, src_slot, layout):
+def pallas_composite(static_cfg, payload, sorted_pid, slot_of_sorted,
+                     layout):
     """Gather + composite -> image-patch accumulations
     (th, 16, gxn*16, 16, 1 + n_val): axes (tile_row, y, tile_x, x, c),
     so `reshape(H_pad, W_pad, c)` IS the image — no transposes.
 
     static_cfg = (num_tiles, tw, n_val, interpret). payload is the
-    (N + 1, f_pad) per-gaussian table (dead row last); sorted_gauss /
-    src_slot the layout's index maps (src_slot is used only by the
-    backward — dead code in inference jits). Output channel 0 is the
+    (N + 1, f_pad) per-gaussian table (dead row last); sorted_pid /
+    slot_of_sorted the layout's index maps (slot_of_sorted is used
+    only by the backward — dead code in inference jits). Output channel 0 is the
     alpha total, channels 1.. the composited values. Differentiable in
     payload — the backward materializes the aligned-padded slot
     payload, runs the Pallas gradient kernel, then reduces the
     per-slot gradients over each gaussian's slots.
     """
     num_tiles, tw, n_val, interpret = static_cfg
-    _, ps_t = _gather_pairs(payload, sorted_gauss)
+    ps_t = _gather_pairs(payload, sorted_pid)
     return _forward_impl(ps_t, layout, num_tiles=num_tiles, tw=tw,
                          n_val=n_val, interpret=interpret)
 
 
-def _pc_fwd(static_cfg, payload, sorted_gauss, src_slot, layout):
+def _pc_fwd(static_cfg, payload, sorted_pid, slot_of_sorted, layout):
     num_tiles, tw, n_val, interpret = static_cfg
-    ps, ps_t = _gather_pairs(payload, sorted_gauss)
+    ps_t = _gather_pairs(payload, sorted_pid)
     out = _forward_impl(ps_t, layout, num_tiles=num_tiles, tw=tw,
                         n_val=n_val, interpret=interpret)
-    return out, (ps, sorted_gauss, src_slot, layout, payload.shape[0])
+    return out, (ps_t, sorted_pid, slot_of_sorted, layout,
+                 payload.shape[0])
 
 
 def _pc_bwd(static_cfg, res, g):
     num_tiles, tw, n_val, interpret = static_cfg
-    ps, sorted_gauss, src_slot, layout, n_rows = res
-    f_pad = ps.shape[1]
-    # Aligned-padded slot payload for the gradient kernel (training-
-    # only cost): dead row fills the padding slots.
-    dead = jnp.zeros((1, f_pad), ps.dtype).at[0, 5].set(LOG_ZERO)
-    sp = jnp.concatenate([ps, dead], axis=0)[src_slot].T
-    dpay = _backward_impl(sp, layout, g, num_tiles=num_tiles, tw=tw,
+    ps_t, sorted_pid, slot_of_sorted, layout, n_rows = res
+    f_pad = ps_t.shape[0]
+    dpay = _backward_impl(ps_t, layout, g, num_tiles=num_tiles, tw=tw,
                           n_val=n_val, interpret=interpret)
-    # Un-sort: scatter-add per-slot gradients over each gaussian's
-    # slots (padding slots land on the dead row, dropped upstream).
-    sg_ext = jnp.concatenate(
-        [sorted_gauss,
-         jnp.full((1,), n_rows - 1, sorted_gauss.dtype)])
-    sg_pad = sg_ext[src_slot]
-    dpayload = jax.ops.segment_sum(dpay.T, sg_pad, num_segments=n_rows)
+    # Un-sort without a scatter: invert the pair sort with ONE more
+    # sort (pid -> sorted position), map positions to their aligned
+    # slots arithmetically, row-gather the per-slot gradients in
+    # pid-major order, and fold each gaussian's K pair rows. ~4x
+    # faster than segment_sum at 1.7M slots.
+    nk = sorted_pid.shape[0]
+    _, inv_perm = jax.lax.sort(
+        (sorted_pid, jnp.arange(nk, dtype=jnp.int32)), num_keys=1)
+    idx = slot_of_sorted[inv_perm]  # pid -> slot (slot_cap = invalid)
+    dpay_ext = jnp.concatenate(
+        [dpay, jnp.zeros((f_pad, 1), dpay.dtype)], axis=1)
+    rows = dpay_ext.T[idx]  # (nk, f_pad), pid-major
+    nn = n_rows - 1
+    dreal = rows.reshape(nn, nk // nn, f_pad).sum(axis=1)
+    dpayload = jnp.concatenate(
+        [dreal, jnp.zeros((1, f_pad), dreal.dtype)], axis=0)
     return dpayload, None, None, None
 
 
@@ -855,7 +833,7 @@ def rasterize_tiled_pallas(
     """
     th, tw = _tile_grid(image_height, image_width)
     num_tiles = th * tw
-    sorted_gauss, src_slot, layout, overflow = build_window_layout(
+    sorted_pid, slot_of_sorted, layout, overflow = build_window_layout(
         proj, image_height, image_width, cfg)
 
     n = proj.mean2d.shape[0]
@@ -887,8 +865,8 @@ def rasterize_tiled_pallas(
     payload = jnp.concatenate([payload, dead], axis=0)  # (N + 1, f_pad)
 
     out = pallas_composite(
-        (num_tiles, tw, n_val, interpret), payload, sorted_gauss,
-        src_slot, layout
+        (num_tiles, tw, n_val, interpret), payload, sorted_pid,
+        slot_of_sorted, layout
     )  # (th, 16, gxn*16, 16, 1 + n_val) — image patches
     gxt = out.shape[2] * TILE
     hwc = out.reshape(th * TILE, gxt, n_val + 1)[
