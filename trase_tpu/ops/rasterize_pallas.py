@@ -795,20 +795,29 @@ def _pc_bwd(static_cfg, res, g):
     f_pad = ps_t.shape[0]
     dpay = _backward_impl(ps_t, layout, g, num_tiles=num_tiles, tw=tw,
                           n_val=n_val, interpret=interpret)
-    # Un-sort without a scatter: invert the pair sort with ONE more
-    # sort (pid -> sorted position), map positions to their aligned
-    # slots arithmetically, row-gather the per-slot gradients in
-    # pid-major order, and fold each gaussian's K pair rows. ~4x
-    # faster than segment_sum at 1.7M slots.
+    # Un-sort without a scatter: ONE more sort inverts the pair
+    # permutation AND carries the slot map along as a payload
+    # (element-gathers are ~12 ms/M on TPU; a sort payload column is
+    # ~0.4 ms), then a row gather pulls per-slot gradients pid-major
+    # and one tiny MXU matmul folds each gaussian's K pair rows.
     nk = sorted_pid.shape[0]
-    _, inv_perm = jax.lax.sort(
-        (sorted_pid, jnp.arange(nk, dtype=jnp.int32)), num_keys=1)
-    idx = slot_of_sorted[inv_perm]  # pid -> slot (slot_cap = invalid)
-    dpay_ext = jnp.concatenate(
-        [dpay, jnp.zeros((f_pad, 1), dpay.dtype)], axis=1)
-    rows = dpay_ext.T[idx]  # (nk, f_pad), pid-major
+    slot_cap = dpay.shape[1]
+    _, idx = jax.lax.sort((sorted_pid, slot_of_sorted),
+                          num_keys=1)  # pid -> slot (slot_cap = invalid)
+    # where-select, not multiply: unwritten tail slots can hold
+    # uninitialized garbage (NaN * 0 == NaN)
+    rows = jnp.where((idx < slot_cap)[:, None],
+                     dpay.T[jnp.minimum(idx, slot_cap - 1)], 0.0)
     nn = n_rows - 1
-    dreal = rows.reshape(nn, nk // nn, f_pad).sum(axis=1)
+    k = nk // nn
+    # fold K consecutive pid rows: (nn, k*f_pad) @ (k*f_pad, f_pad)
+    # with F[j, c] = (j % f_pad == c) — contiguous reshape + one matmul
+    jj = jax.lax.broadcasted_iota(jnp.int32, (k * f_pad, f_pad), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (k * f_pad, f_pad), 1)
+    foldm = (jj % f_pad == cc).astype(dpay.dtype)
+    dreal = jax.lax.dot_general(
+        rows.reshape(nn, k * f_pad), foldm, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     dpayload = jnp.concatenate(
         [dreal, jnp.zeros((1, f_pad), dreal.dtype)], axis=0)
     return dpayload, None, None, None
