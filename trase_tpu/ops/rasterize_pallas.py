@@ -349,9 +349,10 @@ SPAN = (SUPER + 1) * PAIR_CHUNK  # superblock fetch width in lanes
 
 
 def _span_walk(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
-               tsem, process):
+               tsem, process, sb_gate=None):
     """Walk windows [w_lo, w_hi) of the PAIR-ORDERED payload, calling
-    process(get_block, w) with a lazy (f_pad, 128) window extractor.
+    process(get_block, w, guarded) with a lazy (f_pad, 128) window
+    extractor.
 
     Window w covers sorted pairs [win_off[w], +cnt) at an arbitrary
     (unaligned) offset. Any SUPER consecutive windows span at most
@@ -360,6 +361,14 @@ def _span_walk(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
     each window is extracted with a dynamic lane rotate (positive
     shifts only — negative dynamic shifts mis-lower in Mosaic) plus a
     static slice. A per-window tail loop covers the remainder.
+
+    `sb_gate(w0)` (optional) decides once per superblock whether its
+    SUPER windows run at all — the caller's early-termination test
+    hoisted out of the window loop (a vector->scalar readback per
+    window costs ~0.15 us of pipeline bubble). Gated interiors are
+    called with guarded=True and skip their own liveness check; a
+    skipped superblock must be a no-op for the caller's state, which
+    holds when the gate passes whenever any window starts a new tile.
     """
     nsb = (w_hi - w_lo) // SUPER
 
@@ -390,16 +399,25 @@ def _span_walk(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
             sdma(slot, sb).wait()
             w0 = w_lo + sb * SUPER
             base = base_of(w0)
-            for j in range(SUPER):
-                w = w0 + j
 
-                def get_block(w=w, slot=slot, base=base):
-                    shift = jax.lax.rem(
-                        SPAN - (woff_ref[w] - base), SPAN)
-                    return pltpu.roll(pbuf[slot], shift,
-                                      axis=1)[:, :PAIR_CHUNK]
+            def run_all(guarded):
+                for j in range(SUPER):
+                    w = w0 + j
 
-                process(get_block, w)
+                    def get_block(w=w, slot=slot, base=base):
+                        shift = jax.lax.rem(
+                            SPAN - (woff_ref[w] - base), SPAN)
+                        return pltpu.roll(pbuf[slot], shift,
+                                          axis=1)[:, :PAIR_CHUNK]
+
+                    process(get_block, w, guarded)
+
+            if sb_gate is None:
+                run_all(False)
+            else:
+                @pl.when(sb_gate(w0))
+                def _():
+                    run_all(True)
             return carry
 
         jax.lax.fori_loop(0, nsb, body, 0)
@@ -414,7 +432,7 @@ def _span_walk(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
             shift = jax.lax.rem(2 * PAIR_CHUNK - off_l, 2 * PAIR_CHUNK)
             return pltpu.roll(tbuf[...], shift, axis=1)[:, :PAIR_CHUNK]
 
-        process(get_block, w)
+        process(get_block, w, False)
         return carry
 
     jax.lax.fori_loop(w_lo + nsb * SUPER, w_hi, tail_body, 0)
@@ -438,7 +456,7 @@ def _fwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
     scan_upper = _scan_upper()
 
-    def process(get_block, w):
+    def process(get_block, w, guarded):
         mt = metat_ref[w]
         t = mt >> 9
         first = (mt >> 8) & 1
@@ -448,8 +466,7 @@ def _fwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
         def _():
             logt[...] = jnp.zeros(logt.shape, logt.dtype)
 
-        @pl.when(jnp.max(logt[...]) >= LOG_T_EPS)
-        def _():
+        def math():
             block_t = get_block()
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR_CHUNK), 1)
             okl = lane < cnt
@@ -483,8 +500,25 @@ def _fwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
             out_ref[0, :, tx, :, :] = out_ref[0, :, tx, :, :] + upd
             logt[...] = logt[...] + tot
 
+        if guarded:
+            math()
+        else:
+            @pl.when(jnp.max(logt[...]) >= LOG_T_EPS)
+            def _():
+                math()
+
+    def sb_gate(w0):
+        # run the superblock if any window opens a new tile or the
+        # current tile is still transmitting; a skipped superblock
+        # therefore never misses a logt reset
+        any_first = (metat_ref[w0] >> 8) & 1
+        for j in range(1, SUPER):
+            any_first = any_first | ((metat_ref[w0 + j] >> 8) & 1)
+        return jnp.logical_or(any_first == 1,
+                              jnp.max(logt[...]) >= LOG_T_EPS)
+
     _span_walk(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
-               tsem, process)
+               tsem, process, sb_gate)
 
 
 def _bwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
@@ -526,7 +560,7 @@ def _bwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
             dpay_hbm.at[:, pl.ds(blk * PAIR_CHUNK, PAIR_CHUNK)],
             osem.at[slot])
 
-    def pass1(get_block, w):
+    def pass1(get_block, w, guarded):
         mt = metat_ref[w]
         t = mt >> 9
         first = (mt >> 8) & 1
@@ -538,8 +572,7 @@ def _bwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
             tcarry[...] = jnp.ones(tcarry.shape, tcarry.dtype)
             stot_all[tx] = jnp.zeros((PIX, 1), jnp.float32)
 
-        @pl.when(jnp.max(tcarry[...]) >= T_EPS)
-        def _():
+        def math():
             block_t = get_block()
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR_CHUNK), 1)
             okl = lane < cnt
@@ -561,7 +594,21 @@ def _bwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
             stot_all[tx] = stot_all[tx] + s_incl[:, last:last + 1]
             tcarry[...] = jnp.exp(cum[:, last:last + 1]) * tcarry[...]
 
-    def pass2(get_block, w):
+        if guarded:
+            math()
+        else:
+            @pl.when(jnp.max(tcarry[...]) >= T_EPS)
+            def _():
+                math()
+
+    def sb_gate(w0):
+        any_first = (metat_ref[w0] >> 8) & 1
+        for j in range(1, SUPER):
+            any_first = any_first | ((metat_ref[w0 + j] >> 8) & 1)
+        return jnp.logical_or(any_first == 1,
+                              jnp.max(tcarry[...]) >= T_EPS)
+
+    def pass2(get_block, w, guarded):
         mt = metat_ref[w]
         t = mt >> 9
         first = (mt >> 8) & 1
@@ -651,7 +698,7 @@ def _bwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
         state[0] = 1 - os
 
     _span_walk(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
-               tsem, pass1)
+               tsem, pass1, sb_gate)
     _span_walk(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
                tsem, pass2)
 
