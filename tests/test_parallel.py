@@ -64,6 +64,42 @@ def test_sharded_render_matches_single(small_scene):
     assert float(jnp.abs(multi).max()) > 0.01
 
 
+def test_sharded_render_pallas_matches_single(small_scene):
+    """Tile-row-slab Pallas sharded render (interpret on CPU) equals
+    the single-device pallas path; exercises the row padding (3 tile
+    rows over 8 shards)."""
+    from trase_tpu.ops.rasterize import RasterConfig
+    from trase_tpu.parallel import make_mesh, sharded_render_fn
+    from trase_tpu.renderer import make_render_camera, render
+
+    params, aux = small_scene
+    mesh = make_mesh(8)
+
+    H, W = 48, 64
+    cam = make_render_camera(np.eye(3), np.zeros(3), 0.8, 0.8, H, W)
+    cfg = RasterConfig(pairs_per_gaussian=4)
+    bg = jnp.asarray([0.2, 0.1, 0.4])
+
+    single = render(cam, params, aux.alive, bg, sh_degree=1,
+                    with_features=False, raster_cfg=cfg,
+                    backend="pallas_interpret")["render"]
+
+    fn = sharded_render_fn(mesh, H, W, sh_degree=1, raster_cfg=cfg,
+                           backend="pallas")
+    from trase_tpu.parallel.sharded import shard_train_state
+    from trase_tpu.engine.trainer import TrainState
+    from trase_tpu.models.gaussians import init_opt_state
+
+    st = shard_train_state(mesh, TrainState(
+        params=params, aux=aux, opt=init_opt_state(params),
+        deform_vars={}, deform_opt={}))
+    multi = fn(st.params, st.aux.alive, cam.buffers, bg)
+
+    np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
+                               atol=1e-5, rtol=1e-4)
+    assert float(jnp.abs(multi).max()) > 0.01
+
+
 def test_sharded_train_step_runs(small_scene):
     from trase_tpu.engine.trainer import (
         LearningRates, TrainState, init_train_state,

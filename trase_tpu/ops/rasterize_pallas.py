@@ -99,12 +99,12 @@ LOG_ZERO = float(np.log(1e-38))  # log-opacity of dead / padding rows
 
 
 def _cumsum_small(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive int32 cumsum via two tiny MXU matmuls.
+    """Inclusive int32 cumsum via MXU matmuls (recursive row tiling).
 
-    jnp.cumsum on a few-thousand-element vector lowers to a
-    latency-bound multi-pass scan (~2.7 ms measured on v5e); two
-    triangular matmuls do it in ~0.1 ms. Exact for values < 2^24
-    (f32 mantissa).
+    jnp.cumsum lowers to a latency-bound multi-pass scan (~2.7 ms at
+    1M elements measured on v5e); triangular matmuls do the same work
+    in a fraction of that. Exact for values whose running totals stay
+    below 2^24 (f32 mantissa).
     """
     n = x.shape[0]
     c = 128
@@ -117,13 +117,39 @@ def _cumsum_small(x: jnp.ndarray) -> jnp.ndarray:
         xp, upper, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     row_tot = row_cum[:, -1]  # (rows,)
-    ir = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
-    jr = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
-    strict = (ir < jr).astype(jnp.float32)
-    offs = jax.lax.dot_general(
-        row_tot[None, :], strict, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)[0]
+    if rows > 1024:
+        # recurse: exclusive offsets from the inclusive row-total cumsum
+        offs = (_cumsum_small(row_tot.astype(jnp.int32))
+                .astype(jnp.float32) - row_tot)
+    else:
+        ir = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+        jr = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+        strict = (ir < jr).astype(jnp.float32)
+        offs = jax.lax.dot_general(
+            row_tot[None, :], strict, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[0]
     return (row_cum + offs[:, None]).reshape(-1)[:n].astype(jnp.int32)
+
+
+def _segment_fill(boundary_pos, values, valid, size):
+    """fill[p] = values[t*] where t* is the last valid boundary with
+    boundary_pos[t*] <= p (0 before the first valid boundary).
+
+    Built as scatter-ADD of telescoping value jumps at the boundary
+    positions followed by one cumsum — duplicate positions telescope
+    correctly, and everything is O(T) scatters + one MXU cumsum
+    instead of a per-element gather (~12 ms/M on TPU).
+    """
+    t = boundary_pos.shape[0]
+    idx = jnp.arange(t, dtype=jnp.int32)
+    last_v = jax.lax.cummax(jnp.where(valid, idx, -1))
+    prev_v = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_v[:-1]])
+    prev_val = jnp.where(prev_v >= 0,
+                         values[jnp.maximum(prev_v, 0)], 0)
+    jumps = jnp.where(valid, values - prev_val, 0)
+    pos = jnp.where(valid, boundary_pos, size)
+    z = jnp.zeros((size + 1,), jnp.int32).at[pos].add(jumps)
+    return _cumsum_small(z[:size])
 
 
 class WindowLayout(NamedTuple):
@@ -250,9 +276,13 @@ def build_window_layout(proj: ProjectedGaussians, image_height: int,
 
     s_cap = nk // chunk + num_tiles + 2
     widx = jnp.arange(s_cap, dtype=jnp.int32)
-    wt = jnp.searchsorted(cumw, widx, side="right",
-                          method="scan_unrolled").astype(jnp.int32)
-    wt_c = jnp.minimum(wt, num_tiles - 1)
+    nonempty = b > a
+    # window -> tile via a segment fill over the window axis (element
+    # gathers / searchsorted over megarow arrays cost ~12 ms/M on TPU;
+    # scatter-jumps + an MXU cumsum cost ~1 ms total)
+    tidx = jnp.arange(num_tiles, dtype=jnp.int32)
+    wt_c = jnp.minimum(
+        _segment_fill(wstart, tidx, nonempty, s_cap), num_tiles - 1)
     in_range = widx < total_win
     first = (widx == wstart[wt_c]) & in_range
     # window start in sorted-pair space + valid-lane count; meta packs
@@ -267,15 +297,17 @@ def build_window_layout(proj: ProjectedGaussians, image_height: int,
 
     # Sorted-pair -> aligned-slot map for the backward's K-fold
     # gradient unsort: pair at sorted position p sits in slot
-    # wstart[tile]*chunk + (p - a[tile]); invalid (sentinel) pairs get
-    # the one-past-the-end slot (a zero gradient column). Pure
-    # arithmetic — dead-code-eliminated in forward-only jits.
+    # wstart[tile]*chunk + (p - a[tile]) = p + delta[tile] with
+    # delta = wstart*chunk - a piecewise-constant over each tile's
+    # contiguous range — another segment fill, no megarow gathers.
+    # Invalid (sentinel) pairs get the one-past-the-end slot (a zero
+    # gradient column). Dead-code-eliminated in forward-only jits.
     pp = jnp.arange(nk, dtype=jnp.int32)
-    st_c = jnp.minimum(sorted_tile[:nk], num_tiles - 1)
-    pvalid_s = sorted_tile[:nk] < num_tiles
     slot_cap = s_cap * chunk
-    slot_of_sorted = jnp.where(
-        pvalid_s, wstart[st_c] * chunk + (pp - a[st_c]), slot_cap)
+    delta = wstart * chunk - a
+    fill = _segment_fill(a, delta, nonempty, nk)
+    slot_of_sorted = jnp.where(pp < tile_start[num_tiles],
+                               pp + fill, slot_cap)
 
     # Groups = 16-tile row segments: group (r, gx) covers tiles
     # [r*tw + gx*16, r*tw + min(gx*16+16, tw)), so each group's output
@@ -438,9 +470,10 @@ def _span_walk(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
     jax.lax.fori_loop(w_lo + nsb * SUPER, w_hi, tail_body, 0)
 
 
-def _fwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
-                      out_ref, pbuf, psem, tbuf, tsem, logt, *,
-                      n_val: int, tw: int, gxn: int, num_tiles: int):
+def _fwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
+                      payload_hbm, out_ref, pbuf, psem, tbuf, tsem,
+                      logt, *, n_val: int, tw: int, gxn: int,
+                      num_tiles: int):
     """One grid step = one group (a 16-tile row segment).
 
     Reads the pair-ordered payload through the span walker — no
@@ -450,9 +483,10 @@ def _fwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
     a (PIX, 1) scratch.
     """
     gi = pl.program_id(0)
+    g_abs = goff_ref[0] + gi  # global group id (sharded slabs offset)
     w_lo = gstart_ref[gi]
     w_hi = gstart_ref[gi + 1]
-    tile_lo = (gi // gxn) * tw + (gi % gxn) * TILE
+    tile_lo = (g_abs // gxn) * tw + (g_abs % gxn) * TILE
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
     scan_upper = _scan_upper()
 
@@ -709,14 +743,26 @@ def _bwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
 
 
 def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
-                  interpret):
+                  interpret, g_lo=None, rows_local=None):
+    """Composite forward. With g_lo/rows_local set, renders only the
+    tile-row slab whose groups are [g_lo, g_lo + rows_local*gxn) — the
+    per-device slice of the sharded renderer (g_lo may be traced)."""
     f_pad, p_cols = sorted_payload.shape
     th = num_tiles // tw
     gxn = -(-tw // TILE)
-    ngroups = th * gxn
+    if rows_local is None:
+        rows_local = th
+    ngroups = rows_local * gxn
+    if g_lo is None:
+        goff = jnp.zeros((1,), jnp.int32)
+        gs = layout.group_start
+    else:
+        goff = jnp.asarray(g_lo, jnp.int32).reshape(1)
+        gs = jax.lax.dynamic_slice(layout.group_start,
+                                   (goff[0],), (ngroups + 1,))
     c_out = n_val + 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(ngroups,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
@@ -736,12 +782,12 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (th, TILE, gxn * TILE, TILE, c_out), jnp.float32),
+            (rows_local, TILE, gxn * TILE, TILE, c_out), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(layout.group_start, layout.meta_t, layout.win_off, sorted_payload)
+    )(goff, gs, layout.meta_t, layout.win_off, sorted_payload)
 
 
 def _backward_impl(ps_t, layout, g, *, num_tiles, tw, n_val, interpret):
@@ -873,6 +919,39 @@ def _pc_bwd(static_cfg, res, g):
 pallas_composite.defvjp(_pc_fwd, _pc_bwd)
 
 
+def build_payload(proj: ProjectedGaussians,
+                  extra_channels: jnp.ndarray | None):
+    """Sanitized (N + 1, f_pad) per-gaussian payload table + n_val.
+
+    Invalid rows are zeroed (keeps garbage projections from poisoning
+    exp() and blocks their gradients). Row 5 carries log(opacity) —
+    the kernels work in log space and the log's VJP (1/op chain)
+    happens here in XLA. Row 6 is the constant ONE that folds the
+    alpha-total into the channel matmul; a dead row (alpha == 0) is
+    appended last for the layout's padding slots.
+    """
+    n = proj.mean2d.shape[0]
+    vmask = proj.valid
+    opacity = jnp.where(vmask, proj.opacity, 0.0)
+    log_op = jnp.log(jnp.maximum(opacity, 1e-38))
+    mean2d = jnp.where(vmask[:, None], proj.mean2d, 0.0)
+    conic = jnp.where(vmask[:, None], proj.conic, 0.0)
+    val_cols = [proj.color]
+    if extra_channels is not None:
+        val_cols.append(extra_channels)
+    val_cols.append(proj.depth[:, None])
+    vals = jnp.concatenate(val_cols, axis=1)
+    n_val = vals.shape[1]
+    f = GEOM_COLS + n_val
+    f_pad = -(-f // 8) * 8
+    payload = jnp.concatenate(
+        [mean2d, conic, log_op[:, None], jnp.ones((n, 1), mean2d.dtype),
+         jnp.zeros((n, 1), mean2d.dtype), vals,
+         jnp.zeros((n, f_pad - f), mean2d.dtype)], axis=1)  # (N, f_pad)
+    dead = jnp.zeros((1, f_pad), payload.dtype).at[0, 5].set(LOG_ZERO)
+    return jnp.concatenate([payload, dead], axis=0), n_val
+
+
 def rasterize_tiled_pallas(
     proj: ProjectedGaussians,
     extra_channels: jnp.ndarray | None,
@@ -892,33 +971,7 @@ def rasterize_tiled_pallas(
     sorted_pid, slot_of_sorted, layout, overflow = build_window_layout(
         proj, image_height, image_width, cfg)
 
-    n = proj.mean2d.shape[0]
-    # Sanitized per-gaussian payload (invalid rows zeroed: keeps garbage
-    # projections from poisoning exp() and blocks their gradients).
-    # Row 5 carries log(opacity): the kernels work in log space, and
-    # the log's VJP (1/op chain) happens here in XLA, outside the
-    # kernel. Row 6 is the constant ONE that folds the alpha-total into
-    # the channel matmul; a dead row (alpha == 0) is appended for the
-    # layout's padding slots.
-    vmask = proj.valid
-    opacity = jnp.where(vmask, proj.opacity, 0.0)
-    log_op = jnp.log(jnp.maximum(opacity, 1e-38))
-    mean2d = jnp.where(vmask[:, None], proj.mean2d, 0.0)
-    conic = jnp.where(vmask[:, None], proj.conic, 0.0)
-    val_cols = [proj.color]
-    if extra_channels is not None:
-        val_cols.append(extra_channels)
-    val_cols.append(proj.depth[:, None])
-    vals = jnp.concatenate(val_cols, axis=1)
-    n_val = vals.shape[1]
-    f = GEOM_COLS + n_val
-    f_pad = -(-f // 8) * 8
-    payload = jnp.concatenate(
-        [mean2d, conic, log_op[:, None], jnp.ones((n, 1), mean2d.dtype),
-         jnp.zeros((n, 1), mean2d.dtype), vals,
-         jnp.zeros((n, f_pad - f), mean2d.dtype)], axis=1)  # (N, f_pad)
-    dead = jnp.zeros((1, f_pad), payload.dtype).at[0, 5].set(LOG_ZERO)
-    payload = jnp.concatenate([payload, dead], axis=0)  # (N + 1, f_pad)
+    payload, n_val = build_payload(proj, extra_channels)
 
     out = pallas_composite(
         (num_tiles, tw, n_val, interpret), payload, sorted_pid,
