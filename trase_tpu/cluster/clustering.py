@@ -36,11 +36,15 @@ def _normalize(x: np.ndarray) -> np.ndarray:
 def seg_score_assign(features: np.ndarray,
                      centers: np.ndarray) -> np.ndarray:
     """Cosine score of every gaussian against every cluster center
-    (gui.py:288: einsum('nc,bc->bn')). Returns (N, K) scores."""
-    f = jnp.asarray(_normalize(features))
-    c = jnp.asarray(centers)
-    return np.asarray(jnp.einsum("bc,nc->bn", f, c,
-                                 preferred_element_type=jnp.float32))
+    (gui.py:288: einsum('nc,bc->bn')). Returns (N, K) scores.
+
+    Pure numpy on purpose: the clustering tools are host-side (the
+    reference runs HDBSCAN on CPU too) and must not touch the
+    accelerator — a clustering CLI should work with no device at all.
+    """
+    f = np.asarray(_normalize(features), np.float32)
+    c = np.asarray(centers, np.float32)
+    return f @ c.T
 
 
 def hdbscan_cluster(
