@@ -43,9 +43,14 @@ class RasterConfig(NamedTuple):
     """Static rasterizer capacities (shape-defining; changing them
     recompiles)."""
 
-    pairs_per_gaussian: int = 8  # pair buffer capacity = N * this
-    max_per_tile: int = 1024  # K: gaussians composited per tile
-    tile_batch: int = 32  # tiles composited per remat batch
+    # Per-gaussian (tile, gaussian) pair budget, both backends. Rects
+    # larger than this shrink to an aspect-balanced sub-rect around the
+    # projected mean (dropped count reported as `overflow`). A
+    # per-scene speed/quality knob: smaller K shrinks the sort, gather
+    # and index maps linearly.
+    pairs_per_gaussian: int = 8
+    max_per_tile: int = 1024  # dense backend: gaussians composited/tile
+    tile_batch: int = 32  # dense backend: tiles per remat batch
     # Drop (gaussian, tile) pairs whose best-case alpha over the tile is
     # below the 1/255 cutoff (exact: the kernel zeroes them anyway).
     # Off by default: measured on both isotropic and trained-like
@@ -54,9 +59,9 @@ class RasterConfig(NamedTuple):
     # already drops the far tiles. Worth enabling for scenes with very
     # large splats or heavy overdraw. Pallas backend only.
     alpha_cull: bool = False
-    # Tiles per mega-step of the Pallas group kernels (amortizes the
-    # ~0.5 us/step sequential-grid overhead; bounds the VMEM out block
-    # at group * (n_val+1) * 256 * 4 bytes).
+    # Unused since the Pallas kernels moved to fixed 16-tile row-segment
+    # groups (their output blocks are image patches); kept so saved
+    # configs stay loadable.
     tile_group: int = 16
 
 

@@ -3,73 +3,72 @@
 TPU-native replacement for the compositing stage of the reference's
 CUDA rasterizer (submodules/diff-gaussian-rasterization, contract per
 SURVEY.md §2.3a; call site gaussian_renderer/__init__.py:137-155). The
-projection / tile-binning stages stay in XLA (ops/projection.py,
-build_window_layout below); these kernels replace the dense jnp
-compositor (ops/rasterize.py:_composite_tiles) on the hot path.
+projection stage stays in XLA (ops/projection.py); binning and both
+compositing passes live here.
 
-Design — *aligned window grid* over the sorted pair array:
+Design — *span-roll window grid* over the sorted pair array:
 
 - Pairs (gaussian, tile) are ordered by ONE unstable u32 sort on the
   composite key `tile << 19 | quantized_depth` (the CUDA rasterizer's
-  radix-key trick): grouped per tile, front-to-back within the tile,
-  no separate depth presort. 19 depth bits (~5e5 levels over the
-  frame's depth range) make order violations vanishingly rare and
-  visually irrelevant.
-- Each tile's pair range is PADDED to a multiple of 128 when the
-  per-slot gather indices are built, so every window ("slab") of 128
-  pairs belongs to exactly ONE tile and payload block w IS window w:
-  no boundary revisits, no lane-range masks — padding slots point at a
-  dead payload row whose log-opacity is -87 (alpha == 0), making them
-  inert in both passes.
+  radix-key trick): grouped by tile, front-to-back within the tile, no
+  separate depth presort. 19 depth bits over the frame's depth range
+  make order violations vanishingly rare and visually irrelevant. The
+  sort payload is the PAIR id, so the backward can invert the
+  permutation with one more sort.
 - The per-gaussian payload — 8 geometry rows [mean2d(2), conic(3),
   log opacity, ONE, pad] + value rows [rgb, (feat32), depth] — is
-  gathered once into padded-slot order and stored TRANSPOSED:
-  sorted_payload (F_pad, S_cap * 128), pairs in lanes. Manual-DMA HBM
-  slices must be 128-lane aligned on the minor dim; this layout makes
-  every window a native (F_pad, 128) lane slice at an aligned offset.
-- Grid = one program per *group* of `cfg.tile_group` consecutive
-  tiles; an inner fori_loop walks the group's windows with a 4-deep
-  manually double-buffered DMA pipeline (amortizes the ~0.5 us/step
-  sequential-grid overhead and hides DMA latency). Per-tile state
-  (log-space transmittance carry) lives in VMEM scratch; the group's
-  (group, PIX, c_out) output accumulates in the VMEM out block.
-- All in-kernel math is in the transposed (PIX=256 sublanes,
-  chunk=128 lanes) layout, and the splat quadratic is evaluated ON THE
-  MXU: per-pair monomial coefficients in TILE-LOCAL coordinates (six
-  (1,128) lane rows, a dozen VPU ops) are contracted against a
-  constant (256, 8) monomial basis [1, x, y, x^2, xy, y^2, 0, 0] —
-  one matmul replaces the per-pixel quadratic-form algebra, and local
-  coords keep the expansion numerically tight. The front-to-back
-  transmittance scan is one (256,128)x(128,128) matmul of log(1-alpha)
-  against an upper-triangular ones matrix; channel accumulation folds
-  the alpha total in via a constant ONE payload row (c_out = [acc,
-  values...]); every pixel reduction in the backward is an MXU matmul
-  too. The composite weight is a single exp of (log alpha +
-  exclusive-scan + log T) — no division. Early-out skips compute (not
-  DMA) once every pixel in the tile saturates (T < 1e-4), matching the
-  CUDA kernel's termination rule.
+  gathered once into pair order and stored TRANSPOSED (f_pad, nk):
+  pairs ride the 128-lane axis. That is the ONLY gather in the
+  pipeline: windows of 128 pairs are read at their natural unaligned
+  offsets by fetching aligned (f_pad, (SUPER+1)*128) superblock spans
+  with double-buffered manual DMA (any SUPER consecutive windows fit
+  one span) and extracting each window with a dynamic lane rotate
+  (positive shifts only — negative dynamic shifts mis-lower in
+  Mosaic) plus a static slice. Index maps (window meta, window
+  offsets, the pair->slot map) are built with scatter-jump segment
+  fills + MXU triangular-matmul cumsums — element gathers and
+  searchsorted cost ~12 ms per million on TPU and appear nowhere.
+- Grid = one program per 16-tile row segment; each group's output
+  block is an IMAGE PATCH (tile_row, y, tile_x, x, c), so assembling
+  the image is a free reshape plus one small channel transpose.
+- In-kernel math lives in the transposed (PIX=256 sublanes, 128-pair
+  lanes) layout: splat power is direct VPU algebra in tile-local
+  coordinates (the MXU is row-rate-bound — a (256,8)@(8,128) monomial
+  matmul costs the same as K=128, so fewer matmuls win); the
+  front-to-back transmittance scan is one (256,128)x(128,128) matmul
+  of log(1-alpha) against an upper-triangular ones matrix; per-window
+  totals are lane extracts of that scan; channel accumulation folds
+  the alpha total in via a constant ONE payload row (c_out =
+  [acc, values...]). The composite weight is a single exp of
+  (log alpha + exclusive-scan + log T) — no division. Early
+  termination is gated per SUPERBLOCK (a vector->scalar readback per
+  window costs ~0.15 us of pipeline bubble); the gate also passes
+  whenever a window opens a new tile, so skipping is state-safe, and
+  the per-pair `live` mask keeps outputs exact regardless.
 
-Backward (custom_vjp): a linear *visit* stream walks each tile's
-windows twice (pass 1: per-pixel total S = sum q w and transmittance
-recompute; pass 2: gradients via the forward-prefix form
-R_i = S - prefix_i of the suffix accumulator), so no reverse sweep and
-no saved per-slab state are needed. Exact gradients:
+Backward (custom_vjp): two superblocked passes per group. Pass 1
+accumulates each tile's per-pixel total S = sum q*w into a per-tile
+VMEM slot (recomputing the transmittance carry); pass 2 re-walks the
+same contiguous window range and emits exact gradients using the
+forward-prefix form R_i = S - prefix_i of the suffix accumulator:
 
     dL/dv_i      = sum_p g(p) w_i(p)
     dL/dalpha_i  = q_i T_i [keep] - R_i / (1 - alpha_i)
     dL/dpower    = dL/dalpha * alpha        (gated by the clamp/cutoffs)
 
-are pulled back through the monomial evaluation with ONE
-basis^T @ dpower matmul — the six coefficient gradients then chain to
-mean2d / conic / log-opacity on (1,128) lane rows. With blocks 1:1 to
-windows, each pass-2 window DMAs its own gradient block straight out
-(double-buffered, no read-modify-write, no cross-group sharing). The
-screen-space mean gradient required by densification (reference
+pulled back through the splat quadratic with ONE basis^T @ dpower
+matmul (all six monomial-coefficient gradients at once), then chained
+to mean2d / conic / log-opacity on (1,128) lane rows. The rolled
+window view is already 128-aligned in slot space, so each pass-2
+window's gradient block DMAs straight to its own aligned slot — no
+scatter, no read-modify-write. The un-sort inverts the pair
+permutation by carrying the slot map through one more sort, row-
+gathers the per-slot gradients pid-major, and folds each gaussian's K
+pair rows with a single selection matmul — the moral equivalent of
+the CUDA backward's atomics, with zero atomics and zero scatters.
+The screen-space mean gradient required by densification (reference
 train.py:366, scene/gaussian_model.py:637-639) flows through the
-mean2d rows. The custom-VJP boundary includes the payload gather, so
-its transpose (the scatter-add over gaussians — the moral equivalent
-of the CUDA backward's atomics) is an implementation choice inside
-`_pc_bwd`.
+mean2d rows.
 """
 from __future__ import annotations
 
