@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..losses.contrastive import (
-    features_correspondence_matrix,
+    features_correspondence_matrix_hwc,
     negative_pixel_pair_loss,
     pixel_mask_correspondence_matrix,
     pixel_weights,
@@ -325,19 +325,22 @@ def feature_phase_step(
             smooth_dropout=smooth_dropout,
             raster_cfg=raster_cfg,
         )
-        feats = out["render_gaussian_features"]  # (F, H, W)
+        # channels-last feature image: the kernel-native layout — the
+        # (F,H,W) transpose costs ~170 MB each way at 1K/32ch and this
+        # path only ever samples pixels
+        feats = out["render_gaussian_features_hwc"]  # (H, W, F)
         # safe norm: background pixels composite to exactly 0, where
         # linalg.norm's gradient is NaN
-        norm_per_px = jnp.sqrt(jnp.sum(feats * feats, axis=0) + 1e-12)
+        norm_per_px = jnp.sqrt(jnp.sum(feats * feats, axis=-1) + 1e-12)
         rendered_feature_norm = norm_per_px.mean()
         rfn_reg = (1.0 - rendered_feature_norm) ** 2
 
         hm, wm = mask_hw
-        if feats.shape[1:] != (hm, wm):
+        if feats.shape[:2] != (hm, wm):
             feats = jax.image.resize(
-                feats, (feats.shape[0], hm, wm), method="linear"
+                feats, (hm, wm, feats.shape[-1]), method="linear"
             )
-        C_F = features_correspondence_matrix(feats, sample)
+        C_F = features_correspondence_matrix_hwc(feats, sample)
         pos = positive_pixel_pair_loss[contrastive_mode](
             C, C_F, sample, positive_th=positive_th, weights=weights
         )

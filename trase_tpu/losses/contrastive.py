@@ -75,9 +75,23 @@ def features_correspondence_matrix(
     rendered_features: jnp.ndarray, sample: PixelSample
 ) -> jnp.ndarray:
     """Cosine gram of L2-normalized rendered features at sampled pixels
-    (utils/feature_utils.py:50-56)."""
+    (utils/feature_utils.py:50-56). rendered_features: (F, H, W)."""
     f = rendered_features.reshape(rendered_features.shape[0], -1)
     s = f[:, sample.pixel_idx].T  # (P, F)
+    return _cosine_gram(s)
+
+
+def features_correspondence_matrix_hwc(
+    rendered_features_hwc: jnp.ndarray, sample: PixelSample
+) -> jnp.ndarray:
+    """Same gram from a channels-last (H, W, F) feature image — the
+    kernel-native layout; sampling becomes a cheap row gather."""
+    f = rendered_features_hwc.reshape(-1, rendered_features_hwc.shape[-1])
+    s = f[sample.pixel_idx]  # (P, F)
+    return _cosine_gram(s)
+
+
+def _cosine_gram(s: jnp.ndarray) -> jnp.ndarray:
     # safe normalize: linalg.norm has a NaN gradient at exactly 0, and
     # padded/invalid sample slots can land on zero-feature background px
     n = jnp.sqrt(jnp.sum(s * s, axis=-1, keepdims=True) + 1e-12)

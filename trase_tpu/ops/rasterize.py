@@ -263,4 +263,8 @@ def rasterize_tiled(
     }
     if extra_channels is not None:
         result["feats"] = out[3:-1]
+        # channels-last view for consumers that sample pixels (the
+        # contrastive trainer): layout-free on this dense path, and
+        # whichever key goes unused is dead-code-eliminated under jit
+        result["feats_hwc"] = out[3:-1].transpose(1, 2, 0)
     return result

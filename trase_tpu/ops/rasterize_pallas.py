@@ -989,5 +989,9 @@ def rasterize_tiled_pallas(
         "overflow": overflow,
     }
     if extra_channels is not None:
+        # hwc is the kernel-native layout; the CHW transpose costs
+        # ~170 MB each way at 1K/32ch, so expose both and let jit
+        # dead-code-eliminate whichever the consumer ignores
+        result["feats_hwc"] = hwc[..., 4:-1]
         result["feats"] = hwc[..., 4:-1].transpose(2, 0, 1)
     return result

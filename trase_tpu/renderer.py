@@ -187,6 +187,7 @@ def render(
     }
     if with_features:
         result["render_gaussian_features"] = out["feats"]
+        result["render_gaussian_features_hwc"] = out["feats_hwc"]
     return result
 
 
