@@ -100,3 +100,60 @@ def test_extract_masks_from_pt_conversion(tmp_path):
 
     dec = decode_mask_file(str(out / "masks" / "0001.npz"))
     np.testing.assert_array_equal(dec, masks)
+
+
+def test_deform_pth_import_matches_reference_math():
+    """Import a reference-format DeformNetwork state_dict and check our
+    flax apply reproduces the reference forward (reimplemented here in
+    numpy from the utils/time_utils.py:9-132 contract: interleaved
+    sin/cos embedding, 8x256 stack with the post-relu skip concat)."""
+    import jax
+    import numpy as np
+    from trase_tpu.models.deform import deform_step, make_deform_network
+    from trase_tpu.tools.import_torch import import_deform_state_dict
+
+    rng = np.random.default_rng(0)
+    D, W, XF, TF = 8, 256, 10, 10
+    in_ch = 3 * (1 + 2 * XF) + 1 * (1 + 2 * TF)
+
+    def lin(i, o):
+        return (rng.normal(size=(o, i)).astype(np.float32) * 0.05,
+                rng.normal(size=(o,)).astype(np.float32) * 0.05)
+
+    sd = {}
+    dims = [(in_ch, W)] + [(W, W)] * (D - 1)
+    dims[D // 2 + 1] = (W + in_ch, W)
+    for i, (ci, co) in enumerate(dims):
+        w, b = lin(ci, co)
+        sd[f"linear.{i}.weight"], sd[f"linear.{i}.bias"] = w, b
+    for name, o in [("gaussian_warp", 3), ("gaussian_rotation", 4),
+                    ("gaussian_scaling", 3)]:
+        w, b = lin(W, o)
+        sd[f"{name}.weight"], sd[f"{name}.bias"] = w, b
+
+    # reference forward, independently in numpy
+    def ref_embed(v, f):
+        outs = [v]
+        for k in range(f):
+            outs += [np.sin(v * 2.0 ** k), np.cos(v * 2.0 ** k)]
+        return np.concatenate(outs, axis=-1)
+
+    x = rng.normal(size=(64, 3)).astype(np.float32)
+    t = rng.uniform(size=(64, 1)).astype(np.float32)
+    inp = np.concatenate([ref_embed(x, XF), ref_embed(t, TF)], axis=-1)
+    h = inp
+    for i in range(D):
+        w, b = sd[f"linear.{i}.weight"], sd[f"linear.{i}.bias"]
+        h = np.maximum(h @ w.T + b, 0.0)
+        if i == D // 2:
+            h = np.concatenate([inp, h], axis=-1)
+    ref_out = [h @ sd[f"{n}.weight"].T + sd[f"{n}.bias"]
+               for n in ("gaussian_warp", "gaussian_rotation",
+                         "gaussian_scaling")]
+
+    variables = import_deform_state_dict(sd)
+    net = make_deform_network("DeformNetwork")
+    import jax.numpy as jnp
+    ours = deform_step(net, variables, jnp.asarray(x), jnp.asarray(t))
+    for a, b in zip(ref_out, ours):
+        np.testing.assert_allclose(np.asarray(b), a, atol=2e-5, rtol=1e-4)
