@@ -896,20 +896,18 @@ def _pc_bwd(static_cfg, res, g):
     slot_cap = dpay.shape[1]
     _, idx = jax.lax.sort((sorted_pid, slot_of_sorted),
                           num_keys=1)  # pid -> slot (slot_cap = invalid)
-    # where-select, not multiply: unwritten tail slots can hold
-    # uninitialized garbage (NaN * 0 == NaN)
-    rows = jnp.where((idx < slot_cap)[:, None],
-                     dpay.T[jnp.minimum(idx, slot_cap - 1)], 0.0)
+    # LANE gather straight off the kernel-native (f_pad, slot_cap)
+    # layout — transposing dpay first materializes a 100-330 MB
+    # relayout (measured 52 ms at 48 rows). where-select, not
+    # multiply: unwritten tail slots can hold uninitialized garbage
+    # (NaN * 0 == NaN).
+    cols = jnp.where((idx < slot_cap)[None, :],
+                     dpay[:, jnp.minimum(idx, slot_cap - 1)], 0.0)
     nn = n_rows - 1
     k = nk // nn
-    # fold K consecutive pid rows: (nn, k*f_pad) @ (k*f_pad, f_pad)
-    # with F[j, c] = (j % f_pad == c) — contiguous reshape + one matmul
-    jj = jax.lax.broadcasted_iota(jnp.int32, (k * f_pad, f_pad), 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (k * f_pad, f_pad), 1)
-    foldm = (jj % f_pad == cc).astype(dpay.dtype)
-    dreal = jax.lax.dot_general(
-        rows.reshape(nn, k * f_pad), foldm, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    # fold each gaussian's k consecutive pid lanes (minor-axis reduce
+    # on the free (f_pad, nn, k) view), then one small transpose
+    dreal = jnp.sum(cols.reshape(f_pad, nn, k), axis=2).T
     dpayload = jnp.concatenate(
         [dreal, jnp.zeros((1, f_pad), dreal.dtype)], axis=0)
     return dpayload, None, None, None
