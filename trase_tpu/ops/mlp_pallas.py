@@ -67,7 +67,9 @@ def _kernel(emb_ref, w0, b0, w1, b1, w2, b2, w3, b3, w4, b4, ws_in,
     h = jnp.maximum(y, 0.0).astype(jnp.bfloat16)
     h = dense(h, w6, b6)
     h = dense(h, w7, b7)
-    out_ref[...] = matmul(h, wh) + bh[...]
+    # head matmul in f32 (wh arrives uncast; flax heads are
+    # dtype=float32 in the bf16 inference path)
+    out_ref[...] = matmul(h.astype(jnp.float32), wh) + bh[...]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -109,9 +111,11 @@ def fused_deform_mlp(params, emb, interpret=False):
     weights = [w0, b0, w1, b1, w2, b2, w3, b3, w4, b4, ws_in, ws_h, b5,
                w6, b6, w7, b7, wh, bh]
     # hidden-layer kernels stream through the MXU in bf16; biases stay
-    # f32 (accumulation is f32 throughout)
-    weights = [w.astype(jnp.bfloat16) if w.shape[0] > 1 else w
-               for w in weights]
+    # f32 (accumulation is f32 throughout), and so does the packed
+    # output-head kernel wh — matching the flax bf16 inference path,
+    # whose heads are explicitly dtype=float32 (models/deform.py)
+    weights = [w.astype(jnp.bfloat16) if (w.shape[0] > 1 and w is not wh)
+               else w for w in weights]
 
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)

@@ -75,11 +75,10 @@ def compute_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
     return jnp.stack([xx, xy, xz, yy, yz, zz], axis=1)
 
 
-def _eval_sh_soa(deg: int, sh_t: jnp.ndarray, x, y, z):
-    """SoA SH eval: sh_t (K, 3, N) coefficients, x/y/z (N,) unit dirs.
-
-    Returns (r, g, b) each (N,). Same constants/order as utils.sh.eval_sh
-    (reference utils/sh_utils.py:57-112).
+def _sh_basis(deg: int, x, y, z):
+    """Real SH basis values b_k(dir), k < (deg+1)^2, each (N,). Same
+    constants/order as utils.sh.eval_sh (reference
+    utils/sh_utils.py:57-112).
     """
     basis = [jnp.full_like(x, C0)]
     if deg > 0:
@@ -101,13 +100,7 @@ def _eval_sh_soa(deg: int, sh_t: jnp.ndarray, x, y, z):
                     C3[5] * z * (xx - yy),
                     C3[6] * x * (xx - 3 * yy),
                 ]
-    out = []
-    for c in range(3):
-        acc = basis[0] * sh_t[0, c]
-        for k in range(1, len(basis)):
-            acc = acc + basis[k] * sh_t[k, c]
-        out.append(acc)
-    return out
+    return jnp.stack(basis, axis=0)  # (K, N): K sublanes, N lanes
 
 
 def project_gaussians(
@@ -232,14 +225,23 @@ def project_gaussians(
         kk = sh_coeffs.shape[1] * 3
         flat = sh_coeffs.reshape(N, kk)
         eye = jnp.eye(kk, dtype=flat.dtype)
+        # Precision.HIGHEST: on TPU the default MXU precision truncates
+        # f32 operands to bf16; this identity contraction is a pure
+        # relayout and must not round the SH coefficients (or their
+        # gradients through the transposed contraction).
         sh_t = jax.lax.dot_general(
             eye, flat, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         ).reshape(sh_coeffs.shape[1], 3, N)
-        r, g, bch = _eval_sh_soa(sh_degree, sh_t, dx * inv_n, dy * inv_n,
-                                 dz * inv_n)
-        color = jnp.maximum(
-            jnp.stack([r, g, bch], axis=1) + 0.5, 0.0)
+        bas = _sh_basis(sh_degree, dx * inv_n, dy * inv_n,
+                        dz * inv_n)  # ((deg+1)^2, N)
+        # a checkpoint may store fewer coefficients than the active
+        # degree implies; absent coefficients contribute zero
+        k_used = min(bas.shape[0], sh_t.shape[0])
+        chans = [jnp.sum(bas[:k_used] * sh_t[:k_used, c, :], axis=0)
+                 for c in range(3)]
+        color = jnp.maximum(jnp.stack(chans, axis=1) + 0.5, 0.0)
 
     return ProjectedGaussians(
         mean2d=jnp.stack([px, py], axis=1),

@@ -46,11 +46,15 @@ Design — *span-roll window grid* over the sorted pair array:
   whenever a window opens a new tile, so skipping is state-safe, and
   the per-pair `live` mask keeps outputs exact regardless.
 
-Backward (custom_vjp): two superblocked passes per group. Pass 1
-accumulates each tile's per-pixel total S = sum q*w into a per-tile
-VMEM slot (recomputing the transmittance carry); pass 2 re-walks the
-same contiguous window range and emits exact gradients using the
-forward-prefix form R_i = S - prefix_i of the suffix accumulator:
+Backward (custom_vjp): ONE reverse superblocked pass per group — the
+CUDA rasterizer's back-to-front strategy, in log space. The forward
+stores, per tile, the log-transmittance at its early-termination point
+and the stop window (the TPU analogue of CUDA's final_T / n_contrib);
+the backward walks each tile's windows LAST-to-first from the stop
+point, reconstructing the transmittance carry by subtraction
+(log T_start = log T_end - window total — exact in log space, no
+divisions that blow up on saturated windows) and accumulating the
+suffix R_i = sum_{j>i} q_j w_j as it goes:
 
     dL/dv_i      = sum_p g(p) w_i(p)
     dL/dalpha_i  = q_i T_i [keep] - R_i / (1 - alpha_i)
@@ -58,17 +62,23 @@ forward-prefix form R_i = S - prefix_i of the suffix accumulator:
 
 pulled back through the splat quadratic with ONE basis^T @ dpower
 matmul (all six monomial-coefficient gradients at once), then chained
-to mean2d / conic / log-opacity on (1,128) lane rows. The rolled
-window view is already 128-aligned in slot space, so each pass-2
-window's gradient block DMAs straight to its own aligned slot — no
-scatter, no read-modify-write. The un-sort inverts the pair
-permutation by carrying the slot map through one more sort, row-
-gathers the per-slot gradients pid-major, and folds each gaussian's K
-pair rows with a single selection matmul — the moral equivalent of
-the CUDA backward's atomics, with zero atomics and zero scatters.
-The screen-space mean gradient required by densification (reference
-train.py:366, scene/gaussian_model.py:637-639) flows through the
-mean2d rows.
+to mean2d / conic / log-opacity on (1,128) lane rows. Windows past a
+tile's stop point have exactly zero gradient (the forward's hard
+T_EPS cutoff) and are skipped wholesale; their slots read as zero from
+the pre-zeroed (input_output_aliased) output. Each window's gradient
+block DMAs kernel-native to its own aligned window block, and one
+HBM-streaming transpose pass (_transpose_slots, MXU identity
+contractions — DMA minor dims must be 128-aligned, so the kernel
+cannot emit sub-128-lane row-major blocks itself) relayouts them to
+(slot_cap, f_pad) row-major — no scatter, no read-modify-write. The un-sort inverts the pair
+permutation by carrying the slot map through one more sort, then
+ROW-gathers per-slot gradient rows pid-major (lane gathers off the
+old (f_pad, slots) layout cost 10-49 ms; row gathers ~4 ms) and folds
+each gaussian's K pair rows with a minor-axis reduce — the moral
+equivalent of the CUDA backward's atomics, with zero atomics and zero
+scatters. The screen-space mean gradient required by densification
+(reference train.py:366, scene/gaussian_model.py:637-639) flows
+through the mean2d rows.
 """
 from __future__ import annotations
 
@@ -190,6 +200,27 @@ def build_window_layout(proj: ProjectedGaussians, image_height: int,
     K = cfg.pairs_per_gaussian
     nk = n * K
 
+    # The u32 composite key holds tile << depth_bits | depth: shrink the
+    # depth quantization when the tile count needs more than the default
+    # 32 - DEPTH_BITS = 13 bits (e.g. 1440p/4K frames; the sharded path
+    # pads height upward). All shapes are static, so this is trace-time.
+    depth_bits = DEPTH_BITS
+    while (num_tiles + 1) > (1 << (32 - depth_bits)):
+        depth_bits -= 1
+    if depth_bits < 10:
+        raise ValueError(
+            f"{num_tiles} tiles needs more than 22 key bits; composite "
+            "u32 sort key cannot represent this image size")
+
+    # _cumsum_small / _segment_fill index maps are exact only while
+    # running totals stay below 2^24 (f32 mantissa); the largest total
+    # is the slot capacity nk + (num_tiles + 2) * chunk.
+    if nk + (num_tiles + 2) * chunk >= 1 << 24:
+        raise ValueError(
+            f"pair budget n*K={nk} (+ {num_tiles} tiles) exceeds the "
+            "2^24 exact-int32-in-f32 limit of the MXU cumsum index "
+            "maps; reduce pairs_per_gaussian or shard the gaussians")
+
     tx0, ty0, rect_w, count = _tile_rects(proj, th, tw)
     rect_h = count // jnp.maximum(rect_w, 1)
 
@@ -250,18 +281,18 @@ def build_window_layout(proj: ProjectedGaussians, image_height: int,
     depth = proj.depth
     dmin = jnp.min(jnp.where(dvalid, depth, jnp.inf))
     dmax = jnp.max(jnp.where(dvalid, depth, -jnp.inf))
-    dscale = ((1 << DEPTH_BITS) - 1) / jnp.maximum(dmax - dmin, 1e-9)
+    dscale = ((1 << depth_bits) - 1) / jnp.maximum(dmax - dmin, 1e-9)
     dq = jnp.clip((depth - dmin) * dscale, 0.0,
-                  float((1 << DEPTH_BITS) - 1)).astype(jnp.uint32)
-    key = (tile.astype(jnp.uint32) << DEPTH_BITS) | dq[:, None]
+                  float((1 << depth_bits) - 1)).astype(jnp.uint32)
+    key = (tile.astype(jnp.uint32) << depth_bits) | dq[:, None]
     key = jnp.where(pvalid, key,
-                    jnp.uint32(num_tiles) << DEPTH_BITS)
+                    jnp.uint32(num_tiles) << depth_bits)
     # carry the PAIR id through the sort (gaussian id = pid // K): the
     # backward inverts the permutation with one more sort and folds
     # per-pair gradients over each gaussian's K slots — no scatter-add
     pid = jnp.arange(nk, dtype=jnp.int32)
     sorted_key, sorted_pid = jax.lax.sort((key.ravel(), pid), num_keys=1)
-    sorted_tile = (sorted_key >> DEPTH_BITS).astype(jnp.int32)
+    sorted_tile = (sorted_key >> depth_bits).astype(jnp.int32)
 
     tile_start = jnp.searchsorted(
         sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
@@ -470,16 +501,22 @@ def _span_walk(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
 
 
 def _fwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
-                      payload_hbm, out_ref, pbuf, psem, tbuf, tsem,
-                      logt, *, n_val: int, tw: int, gxn: int,
-                      num_tiles: int):
+                      payload_hbm, out_ref, logt_out, stop_out, pbuf,
+                      psem, tbuf, tsem, logt, *, n_val: int, tw: int,
+                      gxn: int, num_tiles: int):
     """One grid step = one group (a 16-tile row segment).
 
     Reads the pair-ordered payload through the span walker — no
     aligned-slot relayout exists anywhere in the forward path. The
     group's output block is an image patch (16y, 16tiles, 16x, c)
     accumulated in VMEM; the per-tile log-transmittance carry lives in
-    a (PIX, 1) scratch.
+    a (PIX, 1) scratch. Two small side outputs feed the backward (the
+    CUDA final_T / n_contrib analogues): logt_out = each tile's
+    per-pixel log-transmittance after its LAST processed window, and
+    stop_out = that window's global index + 1 (as f32; windows >= stop
+    were early-terminated and have exactly zero weight under the hard
+    T_EPS cutoff). Last-write-wins per tile — skipped windows don't
+    write.
     """
     gi = pl.program_id(0)
     g_abs = goff_ref[0] + gi  # global group id (sharded slabs offset)
@@ -487,6 +524,8 @@ def _fwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
     w_hi = gstart_ref[gi + 1]
     tile_lo = (g_abs // gxn) * tw + (g_abs % gxn) * TILE
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    logt_out[...] = jnp.zeros(logt_out.shape, logt_out.dtype)
+    stop_out[...] = jnp.zeros(stop_out.shape, stop_out.dtype)
     scan_upper = _scan_upper()
 
     def process(get_block, w, guarded):
@@ -532,6 +571,8 @@ def _fwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
             upd = contrib.reshape(TILE, TILE, 1 + n_val)
             out_ref[0, :, tx, :, :] = out_ref[0, :, tx, :, :] + upd
             logt[...] = logt[...] + tot
+            logt_out[0, tx] = logt[...]
+            stop_out[0, tx] = jnp.ones((8, 1), jnp.float32) * (w + 1)
 
         if guarded:
             math()
@@ -554,35 +595,120 @@ def _fwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
                tsem, process, sb_gate)
 
 
-def _bwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
-                      g_ref, dpay_hbm, pbuf, psem, obuf, osem, tbuf,
-                      tsem, stot_all, tcarry, prefix, state, *,
-                      n_val: int, tw: int, gxn: int, num_tiles: int,
-                      f_pad: int):
-    """Backward over one tile group: two superblocked passes.
+def _span_walk_rev(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
+                   tsem, process, sb_gate=None):
+    """Reverse-order twin of _span_walk: visits windows [w_lo, w_hi)
+    in strictly DECREASING order (tail remainder first, then
+    superblocks back-to-front, windows within each superblock
+    reversed), with the same aligned-span double-buffered DMA scheme.
+    `sb_gate(w0)` (optional) decides once per superblock whether its
+    windows run at all — callers gate on the per-tile stop map, so a
+    skipped superblock touches no state."""
+    nsb = (w_hi - w_lo) // SUPER
 
-    Pass 1 walks the group's windows [w_lo, w_hi) accumulating each
-    tile's per-pixel total S = sum q*w into the per-tile stot_all
-    slot (and recomputing the transmittance carry). Pass 2 re-walks
-    the same contiguous range and emits gradients, using the
-    forward-prefix form R_i = S - prefix_i of the suffix accumulator.
-    Both passes stream the PAIR-ORDERED payload through the shared
-    span walker (no aligned-slot payload is ever materialized); the
-    rolled window view is already slot-aligned, so every pass-2
-    window's gradient block is staged in a double-buffered VMEM slot
-    and DMA'd straight to its aligned slot-block — no
-    read-modify-write, no cross-group sharing.
+    def base_of(w):
+        return (woff_ref[w] // PAIR_CHUNK) * PAIR_CHUNK
+
+    def sdma(slot, sb):
+        return pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(base_of(w_lo + sb * SUPER), SPAN)],
+            pbuf.at[slot], psem.at[slot])
+
+    def tdma(w):
+        return pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(base_of(w), 2 * PAIR_CHUNK)],
+            tbuf, tsem)
+
+    n_tail = w_hi - (w_lo + nsb * SUPER)
+
+    def tail_body(i, carry):
+        w = w_hi - 1 - i
+        tdma(w).start()
+        tdma(w).wait()
+
+        def get_block(w=w):
+            off_l = woff_ref[w] - base_of(w)
+            shift = jax.lax.rem(2 * PAIR_CHUNK - off_l, 2 * PAIR_CHUNK)
+            return pltpu.roll(tbuf[...], shift, axis=1)[:, :PAIR_CHUNK]
+
+        process(get_block, w, False)
+        return carry
+
+    jax.lax.fori_loop(0, n_tail, tail_body, 0)
+
+    @pl.when(nsb > 0)
+    def _():
+        sdma(0, nsb - 1).start()
+
+        def body(i, carry):
+            sb = nsb - 1 - i
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(sb > 0)
+            def _():
+                sdma(jax.lax.rem(i + 1, 2), sb - 1).start()
+
+            sdma(slot, sb).wait()
+            w0 = w_lo + sb * SUPER
+            base = base_of(w0)
+
+            def run_all(guarded):
+                for j in range(SUPER - 1, -1, -1):
+                    w = w0 + j
+
+                    def get_block(w=w, slot=slot, base=base):
+                        shift = jax.lax.rem(
+                            SPAN - (woff_ref[w] - base), SPAN)
+                        return pltpu.roll(pbuf[slot], shift,
+                                          axis=1)[:, :PAIR_CHUNK]
+
+                    process(get_block, w, guarded)
+
+            if sb_gate is None:
+                run_all(False)
+            else:
+                @pl.when(sb_gate(w0))
+                def _():
+                    run_all(True)
+            return carry
+
+        jax.lax.fori_loop(0, nsb, body, 0)
+
+
+def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
+                      stop_ref, payload_hbm, g_ref, logt_ref, zeros_ref,
+                      dpay_hbm, pbuf, psem, obuf, osem, tbuf, tsem,
+                      logtc, rcarry, state, *, n_val: int, tw: int,
+                      gxn: int, num_tiles: int, f_pad: int):
+    """Backward over one tile group: ONE reverse superblocked pass.
+
+    Walks the group's windows last-to-first. On first (reverse) visit
+    of a tile, loads the forward-stored per-pixel log-transmittance at
+    the tile's stop point (logt_ref) and zeroes the suffix accumulator
+    R; per window, reconstructs the window-start transmittance by
+    log-space subtraction (log T_start = log T_end - window lg total)
+    and emits exact gradients with R_i = R_carry + (S_win - prefix_i).
+    Windows at/after the tile's stop (stop_ref, forward early-
+    termination point) have exactly zero gradient under the hard T_EPS
+    cutoff and are skipped wholesale — their slots stay at the
+    pre-zeroed (input_output_aliased) output's value. Gradient blocks
+    land kernel-native (f_pad, 128) at their aligned window blocks;
+    _transpose_slots relayouts them row-major afterwards so the
+    un-sort is a row gather.
 
     state (SMEM): [0] = next obuf slot, [1]/[2] = in-flight block of
-    slot 0/1 (-1 none).
+    slot 0/1 (-1 none), [3] = tile currently being walked (-1 none).
     """
+    del zeros_ref  # aliases dpay_hbm; pre-zeroed by the caller
     gi = pl.program_id(0)
+    g_abs = goff_ref[0] + gi
     w_lo = gstart_ref[gi]
     w_hi = gstart_ref[gi + 1]
-    tile_lo = (gi // gxn) * tw + (gi % gxn) * TILE
+    tile_lo = (g_abs // gxn) * tw + (g_abs % gxn) * TILE
     state[0] = 0
     state[1] = -1
     state[2] = -1
+    state[3] = -1
     scan_upper = _scan_upper()
     basis_t = _monomial_basis_t()
     last = PAIR_CHUNK - 1
@@ -590,78 +716,33 @@ def _bwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
     def odma(slot, blk):
         return pltpu.make_async_copy(
             obuf.at[slot],
-            dpay_hbm.at[:, pl.ds(blk * PAIR_CHUNK, PAIR_CHUNK)],
+            dpay_hbm.at[pl.ds(blk * f_pad, f_pad), :],
             osem.at[slot])
 
-    def pass1(get_block, w, guarded):
+    def stop_of(w):
+        mt = metat_ref[w]
+        return stop_ref[gi * TILE + ((mt >> 9) - tile_lo)]
+
+    def process(get_block, w, guarded):
         mt = metat_ref[w]
         t = mt >> 9
-        first = (mt >> 8) & 1
         cnt = mt & 255
         tx = t - tile_lo
 
-        @pl.when(first == 1)
+        @pl.when(w < stop_ref[gi * TILE + tx])
         def _():
-            tcarry[...] = jnp.ones(tcarry.shape, tcarry.dtype)
-            stot_all[tx] = jnp.zeros((PIX, 1), jnp.float32)
+            os = state[0]
 
-        def math():
-            block_t = get_block()
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR_CHUNK), 1)
-            okl = lane < cnt
-            raw, *_ = _splat_raw(block_t, t, tw)
-            ok = (raw >= LOG_ALPHA_EPS) & okl
-            alpha = jnp.where(
-                ok, jnp.exp(jnp.minimum(raw, LOG_ALPHA_MAX)), 0.0)
-            lg = jnp.log1p(-alpha)
-            cum = _dot(lg, scan_upper)
-            incl = jnp.exp(cum) * tcarry[...]
-            excl = incl / (1.0 - alpha)
-            wgt = jnp.where(incl >= T_EPS, alpha * excl, 0.0)
-            vals_ext = jnp.concatenate(
-                [block_t[6:7, :],
-                 block_t[GEOM_COLS:GEOM_COLS + n_val, :]], axis=0)
-            g_ext = g_ref[0, :, tx, :, :].reshape(PIX, 1 + n_val)
-            qw = _dot(g_ext, vals_ext) * wgt
-            s_incl = _dot(qw, scan_upper)
-            stot_all[tx] = stot_all[tx] + s_incl[:, last:last + 1]
-            tcarry[...] = jnp.exp(cum[:, last:last + 1]) * tcarry[...]
-
-        if guarded:
-            math()
-        else:
-            @pl.when(jnp.max(tcarry[...]) >= T_EPS)
+            @pl.when(state[1 + os] >= 0)
             def _():
-                math()
+                odma(os, state[1 + os]).wait()
 
-    def sb_gate(w0):
-        any_first = (metat_ref[w0] >> 8) & 1
-        for j in range(1, SUPER):
-            any_first = any_first | ((metat_ref[w0 + j] >> 8) & 1)
-        return jnp.logical_or(any_first == 1,
-                              jnp.max(tcarry[...]) >= T_EPS)
+            @pl.when(t != state[3])
+            def _():
+                logtc[...] = logt_ref[0, tx]
+                rcarry[...] = jnp.zeros(rcarry.shape, rcarry.dtype)
 
-    def pass2(get_block, w, guarded):
-        mt = metat_ref[w]
-        t = mt >> 9
-        first = (mt >> 8) & 1
-        cnt = mt & 255
-        tx = t - tile_lo
-
-        @pl.when(first == 1)
-        def _():
-            tcarry[...] = jnp.ones(tcarry.shape, tcarry.dtype)
-            prefix[...] = jnp.zeros(prefix.shape, prefix.dtype)
-
-        alive = jnp.max(tcarry[...]) >= T_EPS
-        os = state[0]
-
-        @pl.when(state[1 + os] >= 0)
-        def _():
-            odma(os, state[1 + os]).wait()
-
-        @pl.when(alive)
-        def _():
+            state[3] = t
             block_t = get_block()
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR_CHUNK), 1)
             okl = lane < cnt
@@ -670,22 +751,23 @@ def _bwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
             ok = (raw >= LOG_ALPHA_EPS) & okl
             alpha = jnp.where(ok, jnp.exp(alpha_log), 0.0)
             lg = jnp.log1p(-alpha)
-            cum = _dot(lg, scan_upper)
-            incl = jnp.exp(cum) * tcarry[...]
-            excl = incl / (1.0 - alpha)
-            wgt = jnp.where(incl >= T_EPS, alpha * excl, 0.0)
+            cum = _dot(lg, scan_upper)  # (PIX, chunk) inclusive
+            tot = cum[:, last:last + 1]
+            t_start_log = logtc[...] - tot  # (PIX, 1) log T at win start
+            excl_lin = jnp.exp(t_start_log + (cum - lg))  # T before i
+            incl_lin = jnp.exp(t_start_log + cum)  # T after i
+            keep = (incl_lin >= T_EPS).astype(jnp.float32)
+            wgt = jnp.where(ok, alpha * excl_lin, 0.0) * keep
             vals_ext = jnp.concatenate(
                 [block_t[6:7, :],
                  block_t[GEOM_COLS:GEOM_COLS + n_val, :]], axis=0)
-            g_ext = g_ref[0, :, tx, :, :].reshape(
-                PIX, 1 + n_val)
+            g_ext = g_ref[0, :, tx, :, :].reshape(PIX, 1 + n_val)
             q = _dot(g_ext, vals_ext)  # (PIX, chunk)
             qw = q * wgt
             s_incl = _dot(qw, scan_upper)
             s_tot = s_incl[:, last:last + 1]  # lane extract
-            suffix = (stot_all[tx] - prefix[...]) - s_incl
-            keep = (incl >= T_EPS).astype(jnp.float32)
-            dalpha = q * excl * keep - suffix / (1.0 - alpha)
+            suffix = (rcarry[...] + s_tot) - s_incl
+            dalpha = q * excl_lin * keep - suffix / (1.0 - alpha)
             gate = (ok & (raw < LOG_ALPHA_MAX)).astype(jnp.float32)
             dpow = dalpha * gate * alpha
             dcoeff = _dot(basis_t, dpow)  # (8, chunk)
@@ -702,12 +784,11 @@ def _bwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
             d_ca = -0.5 * g1 * mxl * mxl + gx * mxl - 0.5 * gx2
             d_cb = -g1 * mxl * myl + gx * myl + gy * mxl - gxy
             d_cc = -0.5 * g1 * myl * myl + gy * myl - 0.5 * gy2
-            d_logop = g1
             dvals_ext = jax.lax.dot_general(
                 g_ext, wgt, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (1 + n_val, chunk): row 0 = d(ONE row), rest values
-            parts = [dmx, dmy, d_ca, d_cb, d_cc, d_logop,
+            parts = [dmx, dmy, d_ca, d_cb, d_cc, g1,
                      dvals_ext[0:1, :],
                      jnp.zeros((1, PAIR_CHUNK), jnp.float32),
                      dvals_ext[1:, :]]
@@ -715,25 +796,25 @@ def _bwd_group_kernel(gstart_ref, metat_ref, woff_ref, payload_hbm,
             if pad_rows:
                 parts.append(jnp.zeros((pad_rows, PAIR_CHUNK),
                                        jnp.float32))
+            # kernel-native (f_pad, chunk) block; DMA'd as f_pad rows of
+            # the (s_cap * f_pad, 128) staging array (sub-128-lane VMEM
+            # can never be a DMA party, so the row-major relayout
+            # happens in _transpose_slots, a separate Pallas pass)
             obuf[os] = jnp.concatenate(parts, axis=0)
-            prefix[...] = prefix[...] + s_tot
-            tcarry[...] = jnp.exp(cum[:, last:last + 1]) * tcarry[...]
+            odma(os, w).start()
+            state[1 + os] = w
+            state[0] = 1 - os
+            rcarry[...] = rcarry[...] + s_tot
+            logtc[...] = t_start_log
 
-        # every pass-2 window must flush SOME gradient block (the
-        # payload gather's transpose reads them all), so a saturated
-        # tile tail still writes zeros.
-        @pl.when(jnp.logical_not(alive))
-        def _():
-            obuf[os] = jnp.zeros((f_pad, PAIR_CHUNK), jnp.float32)
+    def sb_gate(w0):
+        any_run = w0 < stop_of(w0)
+        for j in range(1, SUPER):
+            any_run = jnp.logical_or(any_run, (w0 + j) < stop_of(w0 + j))
+        return any_run
 
-        odma(os, w).start()
-        state[1 + os] = w
-        state[0] = 1 - os
-
-    _span_walk(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
-               tsem, pass1, sb_gate)
-    _span_walk(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
-               tsem, pass2)
+    _span_walk_rev(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
+                   tsem, process, sb_gate)
 
     for s in range(2):
         @pl.when(state[1 + s] >= 0)
@@ -745,7 +826,12 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
                   interpret, g_lo=None, rows_local=None):
     """Composite forward. With g_lo/rows_local set, renders only the
     tile-row slab whose groups are [g_lo, g_lo + rows_local*gxn) — the
-    per-device slice of the sharded renderer (g_lo may be traced)."""
+    per-device slice of the sharded renderer (g_lo may be traced).
+
+    Returns (patches, logt_stop, stop_f): the image-patch
+    accumulations plus the per-tile backward residuals
+    (logt_stop (ngroups, TILE, PIX, 1) f32, stop_f (ngroups, TILE,
+    8, 1) f32 window indices — see _fwd_group_kernel)."""
     f_pad, p_cols = sorted_payload.shape
     th = num_tiles // tw
     gxn = -(-tw // TILE)
@@ -764,10 +850,18 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
         num_scalar_prefetch=4,
         grid=(ngroups,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, TILE, TILE, TILE, c_out),
-            lambda g, *_: (g // gxn, 0, g % gxn, 0, 0),
-            memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec(
+                (1, TILE, TILE, TILE, c_out),
+                lambda g, *_: (g // gxn, 0, g % gxn, 0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, PIX, 1),
+                         lambda g, *_: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, 8, 1),
+                         lambda g, *_: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, f_pad, SPAN), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -780,8 +874,13 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
                                gxn=gxn, num_tiles=num_tiles)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(
-            (rows_local, TILE, gxn * TILE, TILE, c_out), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (rows_local, TILE, gxn * TILE, TILE, c_out),
+                jnp.float32),
+            jax.ShapeDtypeStruct((ngroups, TILE, PIX, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ngroups, TILE, 8, 1), jnp.float32),
+        ),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -789,21 +888,48 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
     )(goff, gs, layout.meta_t, layout.win_off, sorted_payload)
 
 
-def _backward_impl(ps_t, layout, g, *, num_tiles, tw, n_val, interpret):
+def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
+                   n_val, interpret, g_lo=None, rows_local=None):
+    """Gradient kernel: (slot_cap, f_pad) ROW-MAJOR per-slot gradients.
+
+    logt_stop / stop are the forward's per-tile residuals (local to
+    this call's group range). With g_lo/rows_local set, runs only the
+    slab's groups — untouched slots stay zero (the output buffer is
+    pre-zeroed via input_output_aliases), so slab partials sum across
+    devices."""
     f_pad = ps_t.shape[0]
     th = num_tiles // tw
     gxn = -(-tw // TILE)
-    ngroups = th * gxn
+    if rows_local is None:
+        rows_local = th
+    ngroups = rows_local * gxn
+    if g_lo is None:
+        goff = jnp.zeros((1,), jnp.int32)
+        gs = layout.group_start
+    else:
+        goff = jnp.asarray(g_lo, jnp.int32).reshape(1)
+        gs = jax.lax.dynamic_slice(layout.group_start,
+                                   (goff[0],), (ngroups + 1,))
     c_out = n_val + 1
     s_cap = layout.meta_t.shape[0]
+    slot_cap = s_cap * PAIR_CHUNK
+    stop_flat = stop[:, :, 0, 0].astype(jnp.int32).reshape(-1)
+    # row-major (slot_cap, f_pad) gradients, stored 128-lane-aligned as
+    # (s_cap * f_pad, 128) — the kernel writes f_pad-row blocks whose
+    # flat bytes are each window's (128 slots, f_pad) block
+    zeros_dpay = jnp.zeros((s_cap * f_pad, PAIR_CHUNK), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(ngroups,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # payload
             pl.BlockSpec((1, TILE, TILE, TILE, c_out),
                          lambda gi, *_: (gi // gxn, 0, gi % gxn, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM),  # cotangent patches
+            pl.BlockSpec((1, TILE, PIX, 1),
+                         lambda gi, *_: (gi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),  # logt_stop
+            pl.BlockSpec(memory_space=pltpu.ANY),  # zeros (aliased)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
@@ -813,25 +939,69 @@ def _backward_impl(ps_t, layout, g, *, num_tiles, tw, n_val, interpret):
             pltpu.SemaphoreType.DMA((2,)),  # osem
             pltpu.VMEM((f_pad, 2 * PAIR_CHUNK), jnp.float32),  # tail
             pltpu.SemaphoreType.DMA(()),  # tail sem
-            pltpu.VMEM((TILE, PIX, 1), jnp.float32),  # stot_all
-            pltpu.VMEM((PIX, 1), jnp.float32),  # tcarry
-            pltpu.VMEM((PIX, 1), jnp.float32),  # prefix
+            pltpu.VMEM((PIX, 1), jnp.float32),  # logtc
+            pltpu.VMEM((PIX, 1), jnp.float32),  # rcarry
             pltpu.SMEM((4,), jnp.int32),  # state
         ],
     )
     kernel = functools.partial(_bwd_group_kernel, n_val=n_val, tw=tw,
                                gxn=gxn, num_tiles=num_tiles,
                                f_pad=f_pad)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((f_pad, s_cap * PAIR_CHUNK),
+        out_shape=jax.ShapeDtypeStruct((s_cap * f_pad, PAIR_CHUNK),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        # operands: 5 scalar-prefetch + [ps_t, g, logt_stop, zeros];
+        # the zeros input (index 8) aliases the output so skipped
+        # windows' slots read as exact zeros
+        input_output_aliases={8: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True),
-    )(layout.group_start, layout.meta_t, layout.win_off, ps_t, g)
+    )(goff, gs, layout.meta_t, layout.win_off, stop_flat, ps_t, g,
+      logt_stop, zeros_dpay)
+    return _transpose_slots(out, s_cap, f_pad, interpret=interpret)
+
+
+_TRANS_B = 8  # windows per transpose grid step
+
+
+def _transpose_kernel(x_ref, o_ref, *, f_pad: int):
+    eye = jnp.eye(PAIR_CHUNK, dtype=jnp.float32)
+    for j in range(_TRANS_B):
+        g = x_ref[pl.ds(j * f_pad, f_pad), :]  # (f_pad, 128)
+        gt = jax.lax.dot_general(
+            eye, g, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (128, f_pad)
+        o_ref[pl.ds(j * PAIR_CHUNK, PAIR_CHUNK), :] = gt
+
+
+def _transpose_slots(dpay_kmaj, s_cap, f_pad, *, interpret):
+    """(s_cap * f_pad, 128) window-blocked k-major gradients ->
+    (s_cap * 128, f_pad) row-major per-slot gradients.
+
+    One MXU identity contraction per window block. A dedicated pass
+    because DMA minor dims must be 128-aligned (so the backward kernel
+    cannot emit sub-128-lane row-major blocks itself) and because
+    XLA's own (f_pad, slots) -> (slots, f_pad) relayout measured
+    ~52 ms at 48 rows — this kernel is HBM-streaming instead.
+    """
+    nblk = -(-s_cap // _TRANS_B)
+    return pl.pallas_call(
+        functools.partial(_transpose_kernel, f_pad=f_pad),
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec((_TRANS_B * f_pad, PAIR_CHUNK),
+                               lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_TRANS_B * PAIR_CHUNK, f_pad),
+                               lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s_cap * PAIR_CHUNK, f_pad),
+                                       jnp.float32),
+        interpret=interpret,
+    )(dpay_kmaj)
 
 
 def _gather_pairs(payload, sorted_pid):
@@ -868,49 +1038,56 @@ def pallas_composite(static_cfg, payload, sorted_pid, slot_of_sorted,
     """
     num_tiles, tw, n_val, interpret = static_cfg
     ps_t = _gather_pairs(payload, sorted_pid)
-    return _forward_impl(ps_t, layout, num_tiles=num_tiles, tw=tw,
-                         n_val=n_val, interpret=interpret)
+    out, _, _ = _forward_impl(ps_t, layout, num_tiles=num_tiles, tw=tw,
+                              n_val=n_val, interpret=interpret)
+    return out
 
 
 def _pc_fwd(static_cfg, payload, sorted_pid, slot_of_sorted, layout):
     num_tiles, tw, n_val, interpret = static_cfg
     ps_t = _gather_pairs(payload, sorted_pid)
-    out = _forward_impl(ps_t, layout, num_tiles=num_tiles, tw=tw,
-                        n_val=n_val, interpret=interpret)
+    out, logt_stop, stop = _forward_impl(
+        ps_t, layout, num_tiles=num_tiles, tw=tw, n_val=n_val,
+        interpret=interpret)
     return out, (ps_t, sorted_pid, slot_of_sorted, layout,
-                 payload.shape[0])
+                 payload.shape[0], logt_stop, stop)
 
 
 def _pc_bwd(static_cfg, res, g):
     num_tiles, tw, n_val, interpret = static_cfg
-    ps_t, sorted_pid, slot_of_sorted, layout, n_rows = res
-    f_pad = ps_t.shape[0]
-    dpay = _backward_impl(ps_t, layout, g, num_tiles=num_tiles, tw=tw,
-                          n_val=n_val, interpret=interpret)
-    # Un-sort without a scatter: ONE more sort inverts the pair
-    # permutation AND carries the slot map along as a payload
-    # (element-gathers are ~12 ms/M on TPU; a sort payload column is
-    # ~0.4 ms), then a row gather pulls per-slot gradients pid-major
-    # and one tiny MXU matmul folds each gaussian's K pair rows.
+    ps_t, sorted_pid, slot_of_sorted, layout, n_rows, logt_stop, stop = res
+    dpay = _backward_impl(ps_t, layout, g, logt_stop, stop,
+                          num_tiles=num_tiles, tw=tw, n_val=n_val,
+                          interpret=interpret)
+    dpayload = unsort_slot_gradients(dpay, sorted_pid, slot_of_sorted,
+                                     n_rows)
+    return dpayload, None, None, None
+
+
+def unsort_slot_gradients(dpay, sorted_pid, slot_of_sorted, n_rows):
+    """(slot_cap, f_pad) per-slot gradients -> (n_rows, f_pad)
+    per-gaussian payload gradients.
+
+    Un-sort without a scatter: ONE more sort inverts the pair
+    permutation AND carries the slot map along as a payload
+    (element-gathers are ~12 ms/M on TPU; a sort payload column is
+    ~0.4 ms), then a ROW gather pulls per-slot gradient rows pid-major
+    (~4 ms — the old lane gather off a (f_pad, slots) layout cost
+    10-49 ms) and a minor-axis reduce folds each gaussian's K pair
+    rows. where-select, not multiply, for the invalid-pair rows:
+    NaN * 0 == NaN.
+    """
     nk = sorted_pid.shape[0]
-    slot_cap = dpay.shape[1]
+    slot_cap, f_pad = dpay.shape
     _, idx = jax.lax.sort((sorted_pid, slot_of_sorted),
                           num_keys=1)  # pid -> slot (slot_cap = invalid)
-    # LANE gather straight off the kernel-native (f_pad, slot_cap)
-    # layout — transposing dpay first materializes a 100-330 MB
-    # relayout (measured 52 ms at 48 rows). where-select, not
-    # multiply: unwritten tail slots can hold uninitialized garbage
-    # (NaN * 0 == NaN).
-    cols = jnp.where((idx < slot_cap)[None, :],
-                     dpay[:, jnp.minimum(idx, slot_cap - 1)], 0.0)
+    rows = jnp.where((idx < slot_cap)[:, None],
+                     dpay[jnp.minimum(idx, slot_cap - 1)], 0.0)
     nn = n_rows - 1
     k = nk // nn
-    # fold each gaussian's k consecutive pid lanes (minor-axis reduce
-    # on the free (f_pad, nn, k) view), then one small transpose
-    dreal = jnp.sum(cols.reshape(f_pad, nn, k), axis=2).T
-    dpayload = jnp.concatenate(
+    dreal = jnp.sum(rows.reshape(nn, k, f_pad), axis=1)
+    return jnp.concatenate(
         [dreal, jnp.zeros((1, f_pad), dreal.dtype)], axis=0)
-    return dpayload, None, None, None
 
 
 pallas_composite.defvjp(_pc_fwd, _pc_bwd)

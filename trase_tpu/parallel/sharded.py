@@ -180,7 +180,7 @@ def _composite_my_rows_pallas(proj, extra, bg_color, H, W,
     my = jax.lax.axis_index(AXIS)
     g_lo = my * rows_local * gxn
     interp = not jax.default_backend().startswith("tpu")
-    slab = RP._forward_impl(
+    slab, _, _ = RP._forward_impl(
         ps_t, layout, num_tiles=rows_pad * tw, tw=tw, n_val=n_val,
         interpret=interp, g_lo=g_lo, rows_local=rows_local)
     full = jax.lax.all_gather(slab, AXIS, axis=0, tiled=True)
