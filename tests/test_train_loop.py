@@ -192,3 +192,41 @@ def test_mask_and_gt_cache_bounded(synth_dir, tmp_path):
     tr.train(first_iter=0, progress=False, on_iteration=record)
     assert T.FEATURE in phases  # the FEATURE phase actually exercised masks
     assert tr._prefetcher is not None  # background decode was active
+
+
+@pytest.mark.parametrize("deform_type", [
+    "DeformNetwork", "DeformStaticNetwork", "DeformDynamicNetwork",
+    "DeformSemanticNetwork",
+])
+def test_all_deform_variants_train(synth_dir, tmp_path, deform_type):
+    """Every registry variant trains through BOTH phases (the reference's
+    own train.py never plumbs the semantic variant's feature input —
+    scene/deform_model.py:34 vs train.py:202 — so this is capability
+    beyond parity for DeformSemanticNetwork)."""
+    from trase_tpu.data.scene import Scene
+    from trase_tpu.engine import trainer as T
+    from trase_tpu.engine.loop import Trainer
+    from trase_tpu.ops.rasterize import RasterConfig
+
+    args = _Args(synth_dir, str(tmp_path / f"model_{deform_type}"))
+    opt = _Opt()
+    opt.iterations = 8
+    opt.warm_up = 2
+    opt.warm_up_3d_features = 4
+    opt.iterative_opt_interval = 2
+    opt.densify_until_iter = 0
+    opt.deform_type = deform_type
+    scene = Scene(args, resolution_scales=(1.0,))
+    cfg = RasterConfig(pairs_per_gaussian=4, max_per_tile=128, tile_batch=4)
+    tr = Trainer(args, opt, _Pipe(), scene, raster_cfg=cfg)
+
+    losses, phases = [], []
+
+    def record(t, iteration, metrics):
+        losses.append(float(metrics["loss"]))
+        phases.append(t.opt_state.state)
+
+    tr.train(first_iter=0, progress=False, on_iteration=record)
+    assert len(losses) == 8
+    assert all(np.isfinite(losses))
+    assert T.GAUSSIAN in phases and T.FEATURE in phases

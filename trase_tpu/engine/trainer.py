@@ -137,15 +137,37 @@ def _where_tree(cond, new_tree, old_tree):
 
 
 def _apply_deform(deform_net, deform_vars, xyz, fid, ast_noise, use_deform,
-                  stop_grad_deform):
-    """d_xyz/d_rot/d_scale for the step; use_deform/stop_grad are static."""
+                  stop_grad_deform, bf16=True, gaussian_features=None):
+    """d_xyz/d_rot/d_scale for the step; use_deform/stop_grad are static.
+
+    bf16=True runs the MLP hidden stack in bf16 during TRAINING too
+    (params, output heads, and Adam state stay f32 — mixed precision;
+    measured 17.9 -> ~6 ms fwd+bwd at 131k gaussians on v5e). The
+    reference trains this MLP in f32 torch; the f32 path stays
+    available for parity checks via bf16=False.
+
+    For the DeformSemanticNetwork variant (feature_dim > 0) the raw
+    (C,1,32) gaussian_features feed the MLP input, matching the
+    reference's forward contract (utils/time_utils.py:338-345 — raw
+    features, torch.cat into the embedding; reference train.py never
+    actually plumbs them, so its semantic variant cannot train — ours
+    can). Features are stop-gradient'd: in GAUSSIAN phase they are not
+    an optimization target, and in FEATURE phase the reference's
+    step() call sites likewise treat the deform input as frozen.
+    """
     if not use_deform:
         return 0.0, 0.0, 0.0
     n = xyz.shape[0]
     t = jnp.full((n, 1), 0.0) + fid + ast_noise
     vars_ = (jax.lax.stop_gradient(deform_vars) if stop_grad_deform
              else deform_vars)
-    return deform_step(deform_net, vars_, jax.lax.stop_gradient(xyz), t)
+    dtype = jnp.bfloat16 if bf16 else None
+    feats = None
+    if getattr(deform_net, "feature_dim", 0):
+        feats = jax.lax.stop_gradient(
+            gaussian_features.reshape(n, -1))
+    return deform_step(deform_net, vars_, jax.lax.stop_gradient(xyz), t,
+                       features=feats, dtype=dtype)
 
 
 @functools.partial(
@@ -186,6 +208,7 @@ def gaussian_phase_step(
         d_xyz, d_rot, d_scale = _apply_deform(
             deform_net, deform_vars, params.xyz, fid, ast_noise,
             use_deform, stop_grad_deform=False,
+            gaussian_features=params.gaussian_features,
         )
         out = render(
             camera, params, aux.alive, bg_color,
@@ -311,6 +334,7 @@ def feature_phase_step(
     d_xyz, d_rot, d_scale = _apply_deform(
         deform_net, state.deform_vars, p.xyz, fid, 0.0,
         use_deform, stop_grad_deform=True,
+        gaussian_features=p.gaussian_features,
     )
 
     def loss_fn(feat32, off):
@@ -475,6 +499,7 @@ def style_phase_step(
     d_xyz, d_rot, d_scale = _apply_deform(
         deform_net, state.deform_vars, p.xyz, fid, 0.0,
         use_deform, stop_grad_deform=True,
+        gaussian_features=p.gaussian_features,
     )
 
     def loss_fn(f_dc, f_rest, off):
