@@ -501,9 +501,8 @@ def _span_walk(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
 
 
 def _fwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
-                      payload_hbm, out_ref, logt_out, stop_out, pbuf,
-                      psem, tbuf, tsem, logt, *, n_val: int, tw: int,
-                      gxn: int, num_tiles: int):
+                      payload_hbm, *rest, n_val: int, tw: int,
+                      gxn: int, num_tiles: int, with_residuals: bool):
     """One grid step = one group (a 16-tile row segment).
 
     Reads the pair-ordered payload through the span walker — no
@@ -518,14 +517,21 @@ def _fwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
     T_EPS cutoff). Last-write-wins per tile — skipped windows don't
     write.
     """
+    if with_residuals:
+        (out_ref, logt_out, stop_out, pbuf, psem, tbuf, tsem,
+         logt) = rest
+    else:
+        out_ref, pbuf, psem, tbuf, tsem, logt = rest
+        logt_out = stop_out = None
     gi = pl.program_id(0)
     g_abs = goff_ref[0] + gi  # global group id (sharded slabs offset)
     w_lo = gstart_ref[gi]
     w_hi = gstart_ref[gi + 1]
     tile_lo = (g_abs // gxn) * tw + (g_abs % gxn) * TILE
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
-    logt_out[...] = jnp.zeros(logt_out.shape, logt_out.dtype)
-    stop_out[...] = jnp.zeros(stop_out.shape, stop_out.dtype)
+    if with_residuals:
+        logt_out[...] = jnp.zeros(logt_out.shape, logt_out.dtype)
+        stop_out[...] = jnp.zeros(stop_out.shape, stop_out.dtype)
     scan_upper = _scan_upper()
 
     def process(get_block, w, guarded):
@@ -571,8 +577,10 @@ def _fwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
             upd = contrib.reshape(TILE, TILE, 1 + n_val)
             out_ref[0, :, tx, :, :] = out_ref[0, :, tx, :, :] + upd
             logt[...] = logt[...] + tot
-            logt_out[0, tx] = logt[...]
-            stop_out[0, tx] = jnp.ones((8, 1), jnp.float32) * (w + 1)
+            if with_residuals:
+                logt_out[0, tx] = logt[...]
+                stop_out[0, tx] = (jnp.ones((8, 1), jnp.float32)
+                                   * (w + 1))
 
         if guarded:
             math()
@@ -823,7 +831,8 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
 
 
 def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
-                  interpret, g_lo=None, rows_local=None):
+                  interpret, g_lo=None, rows_local=None,
+                  with_residuals=True):
     """Composite forward. With g_lo/rows_local set, renders only the
     tile-row slab whose groups are [g_lo, g_lo + rows_local*gxn) — the
     per-device slice of the sharded renderer (g_lo may be traced).
@@ -831,7 +840,9 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
     Returns (patches, logt_stop, stop_f): the image-patch
     accumulations plus the per-tile backward residuals
     (logt_stop (ngroups, TILE, PIX, 1) f32, stop_f (ngroups, TILE,
-    8, 1) f32 window indices — see _fwd_group_kernel)."""
+    8, 1) f32 window indices — see _fwd_group_kernel). With
+    with_residuals=False (inference/fwd-only paths) the side outputs
+    are not computed and return as None."""
     f_pad, p_cols = sorted_payload.shape
     th = num_tiles // tw
     gxn = -(-tw // TILE)
@@ -846,22 +857,35 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
         gs = jax.lax.dynamic_slice(layout.group_start,
                                    (goff[0],), (ngroups + 1,))
     c_out = n_val + 1
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(ngroups,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(
-            pl.BlockSpec(
-                (1, TILE, TILE, TILE, c_out),
-                lambda g, *_: (g // gxn, 0, g % gxn, 0, 0),
-                memory_space=pltpu.VMEM),
+    img_spec = pl.BlockSpec(
+        (1, TILE, TILE, TILE, c_out),
+        lambda g, *_: (g // gxn, 0, g % gxn, 0, 0),
+        memory_space=pltpu.VMEM)
+    img_shape = jax.ShapeDtypeStruct(
+        (rows_local, TILE, gxn * TILE, TILE, c_out), jnp.float32)
+    if with_residuals:
+        out_specs = (
+            img_spec,
             pl.BlockSpec((1, TILE, PIX, 1),
                          lambda g, *_: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE, 8, 1),
                          lambda g, *_: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-        ),
+        )
+        out_shape = (
+            img_shape,
+            jax.ShapeDtypeStruct((ngroups, TILE, PIX, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ngroups, TILE, 8, 1), jnp.float32),
+        )
+    else:
+        out_specs = img_spec
+        out_shape = img_shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(ngroups,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, f_pad, SPAN), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -871,21 +895,19 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
         ],
     )
     kernel = functools.partial(_fwd_group_kernel, n_val=n_val, tw=tw,
-                               gxn=gxn, num_tiles=num_tiles)
-    return pl.pallas_call(
+                               gxn=gxn, num_tiles=num_tiles,
+                               with_residuals=with_residuals)
+    out = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct(
-                (rows_local, TILE, gxn * TILE, TILE, c_out),
-                jnp.float32),
-            jax.ShapeDtypeStruct((ngroups, TILE, PIX, 1), jnp.float32),
-            jax.ShapeDtypeStruct((ngroups, TILE, 8, 1), jnp.float32),
-        ),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(goff, gs, layout.meta_t, layout.win_off, sorted_payload)
+    if with_residuals:
+        return out
+    return out, None, None
 
 
 def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
@@ -1039,7 +1061,8 @@ def pallas_composite(static_cfg, payload, sorted_pid, slot_of_sorted,
     num_tiles, tw, n_val, interpret = static_cfg
     ps_t = _gather_pairs(payload, sorted_pid)
     out, _, _ = _forward_impl(ps_t, layout, num_tiles=num_tiles, tw=tw,
-                              n_val=n_val, interpret=interpret)
+                              n_val=n_val, interpret=interpret,
+                              with_residuals=False)
     return out
 
 

@@ -182,7 +182,8 @@ def _composite_my_rows_pallas(proj, extra, bg_color, H, W,
     interp = not jax.default_backend().startswith("tpu")
     slab, _, _ = RP._forward_impl(
         ps_t, layout, num_tiles=rows_pad * tw, tw=tw, n_val=n_val,
-        interpret=interp, g_lo=g_lo, rows_local=rows_local)
+        interpret=interp, g_lo=g_lo, rows_local=rows_local,
+        with_residuals=False)
     full = jax.lax.all_gather(slab, AXIS, axis=0, tiled=True)
     gxt = full.shape[2] * RP.TILE
     hwc = full.reshape(rows_pad * RP.TILE, gxt, n_val + 1)[:H, :W]
