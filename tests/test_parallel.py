@@ -192,7 +192,8 @@ def test_sharded_feature_step_matches_single(small_scene):
     step = builder(sharded)
     multi_state, multi_metrics = step(
         sharded, cam.buffers, masks, mask_valid, jnp.float32(0.5), key,
-        lrs, jnp.zeros(3))
+        lrs, jnp.zeros(3),
+        jnp.zeros((params.xyz.shape[0], 1), jnp.int32))
 
     assert bool(multi_metrics["finite"])
     np.testing.assert_allclose(

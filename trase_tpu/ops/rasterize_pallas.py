@@ -1044,47 +1044,64 @@ def _gather_pairs(payload, sorted_pid):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def pallas_composite(static_cfg, payload, sorted_pid, slot_of_sorted,
-                     layout):
+                     layout, g_lo=None):
     """Gather + composite -> image-patch accumulations
-    (th, 16, gxn*16, 16, 1 + n_val): axes (tile_row, y, tile_x, x, c),
-    so `reshape(H_pad, W_pad, c)` IS the image — no transposes.
+    (rows, 16, gxn*16, 16, 1 + n_val): axes (tile_row, y, tile_x, x,
+    c), so `reshape(H_pad, W_pad, c)` IS the image — no transposes.
 
-    static_cfg = (num_tiles, tw, n_val, interpret). payload is the
-    (N + 1, f_pad) per-gaussian table (dead row last); sorted_pid /
-    slot_of_sorted the layout's index maps (slot_of_sorted is used
-    only by the backward — dead code in inference jits). Output channel 0 is the
-    alpha total, channels 1.. the composited values. Differentiable in
-    payload — the backward materializes the aligned-padded slot
-    payload, runs the Pallas gradient kernel, then reduces the
-    per-slot gradients over each gaussian's slots.
+    static_cfg = (num_tiles, tw, n_val, interpret[, rows_local]).
+    payload is the (N + 1, f_pad) per-gaussian table (dead row last);
+    sorted_pid / slot_of_sorted the layout's index maps
+    (slot_of_sorted is used only by the backward — dead code in
+    inference jits). Output channel 0 is the alpha total, channels 1..
+    the composited values. Differentiable in payload — the backward
+    materializes the aligned-padded slot payload, runs the Pallas
+    gradient kernel, then reduces the per-slot gradients over each
+    gaussian's slots.
+
+    Slab mode (the sharded path): pass rows_local in static_cfg and a
+    traced g_lo (first group index); forward renders only that tile-row
+    slab and the backward emits gradients only for the slab's windows —
+    partial per-gaussian gradients that sum exactly across devices
+    (the transpose of the projection all-gather does the psum).
     """
-    num_tiles, tw, n_val, interpret = static_cfg
+    num_tiles, tw, n_val, interpret, rows_local = _pc_cfg(static_cfg)
     ps_t = _gather_pairs(payload, sorted_pid)
     out, _, _ = _forward_impl(ps_t, layout, num_tiles=num_tiles, tw=tw,
                               n_val=n_val, interpret=interpret,
+                              g_lo=g_lo, rows_local=rows_local,
                               with_residuals=False)
     return out
 
 
-def _pc_fwd(static_cfg, payload, sorted_pid, slot_of_sorted, layout):
-    num_tiles, tw, n_val, interpret = static_cfg
+def _pc_cfg(static_cfg):
+    if len(static_cfg) == 4:
+        return (*static_cfg, None)
+    return static_cfg
+
+
+def _pc_fwd(static_cfg, payload, sorted_pid, slot_of_sorted, layout,
+            g_lo=None):
+    num_tiles, tw, n_val, interpret, rows_local = _pc_cfg(static_cfg)
     ps_t = _gather_pairs(payload, sorted_pid)
     out, logt_stop, stop = _forward_impl(
         ps_t, layout, num_tiles=num_tiles, tw=tw, n_val=n_val,
-        interpret=interpret)
+        interpret=interpret, g_lo=g_lo, rows_local=rows_local)
     return out, (ps_t, sorted_pid, slot_of_sorted, layout,
-                 payload.shape[0], logt_stop, stop)
+                 payload.shape[0], logt_stop, stop, g_lo)
 
 
 def _pc_bwd(static_cfg, res, g):
-    num_tiles, tw, n_val, interpret = static_cfg
-    ps_t, sorted_pid, slot_of_sorted, layout, n_rows, logt_stop, stop = res
+    num_tiles, tw, n_val, interpret, rows_local = _pc_cfg(static_cfg)
+    (ps_t, sorted_pid, slot_of_sorted, layout, n_rows, logt_stop, stop,
+     g_lo) = res
     dpay = _backward_impl(ps_t, layout, g, logt_stop, stop,
                           num_tiles=num_tiles, tw=tw, n_val=n_val,
-                          interpret=interpret)
+                          interpret=interpret, g_lo=g_lo,
+                          rows_local=rows_local)
     dpayload = unsort_slot_gradients(dpay, sorted_pid, slot_of_sorted,
                                      n_rows)
-    return dpayload, None, None, None
+    return dpayload, None, None, None, None
 
 
 def unsort_slot_gradients(dpay, sorted_pid, slot_of_sorted, n_rows):

@@ -161,13 +161,18 @@ def _composite_my_tiles(proj, extra, bg_color, H, W, cfg: RT.RasterConfig,
 
 def _composite_my_rows_pallas(proj, extra, bg_color, H, W,
                               cfg: RT.RasterConfig, n_shards: int):
-    """Tile-ROW-parallel Pallas compositing: each device renders its
-    slab of tile rows with the span-roll forward kernel (the binning /
-    payload stages run replicated on the gathered projection — they
-    are ~5 ms vs the compositor's per-slab cost and keep the layout
-    bit-identical everywhere), then slabs are all-gathered into the
-    image. Image height is padded so the tile-row count divides the
-    mesh; the padded rows are empty and sliced away."""
+    """Tile-ROW-parallel Pallas compositing, fully differentiable:
+    each device renders its slab of tile rows with the span-roll
+    forward kernel (the binning / payload stages run replicated on the
+    gathered projection — they are ~5 ms vs the compositor's per-slab
+    cost and keep the layout bit-identical everywhere), then slabs are
+    all-gathered into the image. Under jax.grad, each device runs the
+    reverse-pass gradient kernel over ITS slab's windows only; the
+    resulting partial per-gaussian payload gradients sum exactly
+    across the mesh through the transpose of the projection
+    all-gather (a psum-scatter XLA inserts automatically). Image
+    height is padded so the tile-row count divides the mesh; the
+    padded rows are empty and sliced away."""
     th, tw = RT._tile_grid(H, W)
     gxn = -(-tw // RP.TILE)
     rows_pad = -(-th // n_shards) * n_shards
@@ -175,15 +180,13 @@ def _composite_my_rows_pallas(proj, extra, bg_color, H, W,
     sorted_pid, slot_of_sorted, layout, overflow = RP.build_window_layout(
         proj, h_pad, W, cfg)
     payload, n_val = RP.build_payload(proj, extra)
-    ps_t = RP._gather_pairs(payload, sorted_pid)
     rows_local = rows_pad // n_shards
     my = jax.lax.axis_index(AXIS)
     g_lo = my * rows_local * gxn
     interp = not jax.default_backend().startswith("tpu")
-    slab, _, _ = RP._forward_impl(
-        ps_t, layout, num_tiles=rows_pad * tw, tw=tw, n_val=n_val,
-        interpret=interp, g_lo=g_lo, rows_local=rows_local,
-        with_residuals=False)
+    slab = RP.pallas_composite(
+        (rows_pad * tw, tw, n_val, interp, rows_local),
+        payload, sorted_pid, slot_of_sorted, layout, g_lo)
     full = jax.lax.all_gather(slab, AXIS, axis=0, tiled=True)
     gxt = full.shape[2] * RP.TILE
     hwc = full.reshape(rows_pad * RP.TILE, gxt, n_val + 1)[:H, :W]
@@ -196,6 +199,7 @@ def _composite_my_rows_pallas(proj, extra, bg_color, H, W,
               "overflow": overflow}
     if extra is not None:
         result["feats"] = hwc[..., 4:-1].transpose(2, 0, 1)
+        result["feats_hwc"] = hwc[..., 4:-1]
     return result
 
 
@@ -247,16 +251,23 @@ def make_sharded_gaussian_step(
     use_deform: bool = True,
     lambda_dssim: float = 0.2,
     raster_cfg: RT.RasterConfig = RT.RasterConfig(),
+    backend: str | None = None,
 ):
     """Multi-device GAUSSIAN-phase training step (full fwd+bwd+Adam).
 
     State sharding: per-gaussian arrays split on AXIS; deform MLP
     replicated (its gradient is psum'd across the mesh). Loss/metrics
-    come out replicated.
-    """
+    come out replicated. backend: "pallas" (slab fwd + reverse-pass
+    gradient kernel per device; default on TPU) or "dense" (the XLA
+    compositor with remat; default elsewhere)."""
     from ..engine.trainer import LearningRates, TrainState
 
     n_shards = mesh.shape[AXIS]
+    if backend is None:
+        backend = ("pallas"
+                   if jax.default_backend().startswith("tpu") else "dense")
+    compositor = (_composite_my_rows_pallas if backend == "pallas"
+                  else _composite_my_tiles)
 
     def _specs_like(tree, spec):
         return jax.tree_util.tree_map(lambda _: spec, tree)
@@ -268,17 +279,16 @@ def make_sharded_gaussian_step(
         off = jnp.zeros((local_c, 2))
 
         def loss_fn(params_shard, deform_vars, off_shard):
-            if use_deform:
-                t = jnp.full((local_c, 1), 0.0) + fid + ast_noise
-                d_xyz, d_rot, d_scale = deform_step(
-                    deform_net, deform_vars,
-                    jax.lax.stop_gradient(params_shard.xyz), t)
-            else:
-                d_xyz, d_rot, d_scale = 0.0, 0.0, 0.0
+            from ..engine.trainer import _apply_deform
+
+            d_xyz, d_rot, d_scale = _apply_deform(
+                deform_net, deform_vars, params_shard.xyz, fid,
+                ast_noise, use_deform, stop_grad_deform=False,
+                gaussian_features=params_shard.gaussian_features)
             proj = _gathered_projection(
                 params_shard, aux.alive, d_xyz, d_rot, d_scale,
                 cam, H, W, sh_degree, off_shard)
-            out = _composite_my_tiles(
+            out = compositor(
                 proj, None, bg_color, H, W, raster_cfg, n_shards)
             image = out["render"]
             ll1 = l1_loss(image, gt_image)
@@ -369,6 +379,86 @@ def make_sharded_gaussian_step(
     return build
 
 
+def make_sharded_densify(mesh: Mesh, *, cfg, max_new_per_shard: int):
+    """Multi-device densify/clone/split/prune (scene/gaussian_model.py:
+    563-635, sharded).
+
+    densify_and_prune is row-local except free-slot allocation, so each
+    device densifies its own shard rows into its own shard's free
+    slots — semantically equivalent to the reference up to slot
+    placement (slot order is an implementation detail; the reference's
+    cat-based growth likewise renumbers). Per-device RNG = fold_in of
+    the replicated key with the device index (split children must not
+    be identical across shards); counters psum to global stats.
+    """
+    from ..engine.trainer import TrainState
+
+    def _specs_like(tree, spec):
+        return jax.tree_util.tree_map(lambda _: spec, tree)
+
+    def body(state: TrainState, rng, scene_extent, max_screen_size):
+        my = jax.lax.axis_index(AXIS)
+        rng_local = jax.random.fold_in(rng, my)
+        p, aux, opt, stats = G.densify_and_prune(
+            state.params, state.aux, state.opt, cfg,
+            scene_extent, max_screen_size, rng_local, max_new_per_shard)
+        stats = {k: jax.lax.psum(v, AXIS) for k, v in stats.items()}
+        return state._replace(params=p, aux=aux, opt=opt), stats
+
+    def build(state_template: TrainState):
+        in_state_specs = TrainState(
+            params=_specs_like(state_template.params, P(AXIS)),
+            aux=_specs_like(state_template.aux, P(AXIS)),
+            opt=jax.tree_util.tree_map(
+                lambda x: P(AXIS) if getattr(x, "ndim", 0) >= 1 else P(),
+                state_template.opt),
+            deform_vars=_specs_like(state_template.deform_vars, P()),
+            deform_opt=_specs_like(state_template.deform_opt, P()),
+        )
+        stat_specs = {k: P() for k in
+                      ("n_clone", "n_split", "n_pruned", "n_alive",
+                       "dropped")}
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(in_state_specs, P(), P(), P()),
+            out_specs=(in_state_specs, stat_specs),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    return build
+
+
+def make_sharded_reset_opacity(mesh: Mesh):
+    """Sharded opacity clamp + Adam-state reset (elementwise — the
+    shard_map exists only to keep the state resident in place)."""
+    from ..engine.trainer import TrainState
+
+    def body(state: TrainState):
+        p, opt = G.reset_opacity(state.params, state.aux, state.opt)
+        return state._replace(params=p, opt=opt)
+
+    def build(state_template: TrainState):
+        in_state_specs = TrainState(
+            params=jax.tree_util.tree_map(
+                lambda _: P(AXIS), state_template.params),
+            aux=jax.tree_util.tree_map(
+                lambda _: P(AXIS), state_template.aux),
+            opt=jax.tree_util.tree_map(
+                lambda x: P(AXIS) if getattr(x, "ndim", 0) >= 1 else P(),
+                state_template.opt),
+            deform_vars=jax.tree_util.tree_map(
+                lambda _: P(), state_template.deform_vars),
+            deform_opt=jax.tree_util.tree_map(
+                lambda _: P(), state_template.deform_opt),
+        )
+        fn = shard_map(body, mesh=mesh, in_specs=(in_state_specs,),
+                       out_specs=in_state_specs, check_vma=False)
+        return jax.jit(fn)
+
+    return build
+
+
 def make_sharded_feature_step(
     mesh: Mesh,
     deform_net: DeformNetwork,
@@ -385,7 +475,10 @@ def make_sharded_feature_step(
     num_sampled_masks: int = 8,
     mask_hw: tuple = None,
     use_pixel_weights: bool = True,
+    use_smoothing: bool = False,
+    smooth_dropout: float = 0.5,
     raster_cfg: RT.RasterConfig = RT.RasterConfig(),
+    backend: str | None = None,
 ):
     """Multi-device FEATURE-phase training step.
 
@@ -397,6 +490,14 @@ def make_sharded_feature_step(
     and compositing is tile-parallel, like the GAUSSIAN step. Masks
     and the PRNG key are replicated so sampling is identical on every
     device. Semantics mirror engine.trainer.feature_phase_step.
+
+    With use_smoothing the KNN feature smoothing
+    (scene/gaussian_model.py:79-104) runs sharded: local rows
+    normalize, the normalized table is all-gathered, each device
+    averages its rows' (global-index) neighbors with the reference's
+    shared dropout permutation (replicated rng), and the smoothed
+    rows are gathered again for compositing. The step then takes an
+    extra (local_c, K) smooth_map operand sharded on AXIS.
     """
     from ..engine.trainer import LearningRates, TrainState
     from ..losses.contrastive import (
@@ -409,19 +510,23 @@ def make_sharded_feature_step(
     )
 
     n_shards = mesh.shape[AXIS]
+    if backend is None:
+        backend = ("pallas"
+                   if jax.default_backend().startswith("tpu") else "dense")
+    compositor = (_composite_my_rows_pallas if backend == "pallas"
+                  else _composite_my_tiles)
 
     def _specs_like(tree, spec):
         return jax.tree_util.tree_map(lambda _: spec, tree)
 
     def body(state: TrainState, cam: CameraBuffers, sam_masks, mask_valid,
-             fid, rng, lrs: LearningRates, bg_color):
+             fid, rng, lrs: LearningRates, bg_color, smooth_map):
         p, aux = state.params, state.aux
         local_c = p.xyz.shape[0]
         off = jnp.zeros((local_c, 2))
 
-        # identical split to feature_phase_step (parity; the smooth key
-        # is unused — sharded smoothing would need a cross-shard gather)
-        rng_sample, _ = jax.random.split(rng)
+        # identical split to feature_phase_step
+        rng_sample, rng_smooth = jax.random.split(rng)
         sample = sample_pixels_and_masks(
             rng_sample, sam_masks, mask_valid, num_sampled_pixels,
             num_sampled_masks)
@@ -429,25 +534,40 @@ def make_sharded_feature_step(
         weights = (pixel_weights(sam_masks, sample)
                    if use_pixel_weights else None)
 
-        if use_deform:
-            t = jnp.full((local_c, 1), 0.0) + fid
-            d_xyz, d_rot, d_scale = deform_step(
-                deform_net, jax.lax.stop_gradient(state.deform_vars),
-                jax.lax.stop_gradient(p.xyz), t)
-        else:
-            d_xyz, d_rot, d_scale = 0.0, 0.0, 0.0
+        from ..engine.trainer import _apply_deform
+
+        d_xyz, d_rot, d_scale = _apply_deform(
+            deform_net, state.deform_vars, p.xyz, fid, 0.0,
+            use_deform, stop_grad_deform=True,
+            gaussian_features=p.gaussian_features)
 
         def loss_fn(feat_shard, off_shard):
             params = p._replace(gaussian_features=feat_shard)
             proj = _gathered_projection(
                 params, aux.alive, d_xyz, d_rot, d_scale,
                 cam, H, W, sh_degree, off_shard)
-            normed = feat_shard / jnp.sqrt(
-                jnp.sum(feat_shard * feat_shard, axis=-1, keepdims=True)
-                + 1e-12)
-            extra_full = jax.lax.all_gather(normed, AXIS, axis=0,
+            flat = feat_shard.reshape(local_c, -1)
+            normed = flat / jnp.sqrt(
+                jnp.sum(flat * flat, axis=-1, keepdims=True) + 1e-12)
+            if use_smoothing:
+                # shared dropout permutation (replicated rng), global
+                # neighbor indices into the gathered normalized table —
+                # exact ops.knn.smooth_features semantics
+                normed_full = jax.lax.all_gather(
+                    normed, AXIS, axis=0, tiled=True)
+                k = smooth_map.shape[1]
+                n_sel = max(int(k * smooth_dropout), 1)
+                if 0.0 < smooth_dropout < 1.0:
+                    perm = jax.random.permutation(rng_smooth, k)[:n_sel]
+                    sel = smooth_map[:, perm]
+                else:
+                    sel = smooth_map
+                local_rows = normed_full[sel].mean(axis=1)
+            else:
+                local_rows = normed
+            extra_full = jax.lax.all_gather(local_rows, AXIS, axis=0,
                                             tiled=True)
-            out = _composite_my_tiles(
+            out = compositor(
                 proj, extra_full, bg_color, H, W, raster_cfg, n_shards)
             feats = out["feats"]  # (F, H, W), replicated
             norm_per_px = jnp.sqrt(jnp.sum(feats * feats, axis=0) + 1e-12)
@@ -516,7 +636,7 @@ def make_sharded_feature_step(
         fn = shard_map(
             body, mesh=mesh,
             in_specs=(in_state_specs, cam_specs, P(), P(), P(), P(),
-                      lr_specs, P()),
+                      lr_specs, P(), P(AXIS)),
             out_specs=(in_state_specs,
                        {"loss": P(), "finite": P(), "rfn": P(),
                         "overflow": P()}),
