@@ -41,6 +41,13 @@ def main(argv=None):
     parser.add_argument("--max_per_tile", type=int, default=1024,
                         help="rasterizer per-tile gaussian capacity")
     parser.add_argument("--pairs_per_gaussian", type=int, default=8)
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="train SPMD over an N-device jax mesh "
+                             "(0 = single device)")
+    parser.add_argument("--mesh_backend", type=str, default=None,
+                        choices=[None, "pallas", "dense"],
+                        help="sharded compositor backend "
+                             "(default: pallas on TPU, dense elsewhere)")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
     args.save_iterations.append(args.iterations)
 
@@ -69,7 +76,15 @@ def main(argv=None):
         pairs_per_gaussian=args.pairs_per_gaussian,
         max_per_tile=args.max_per_tile,
     )
-    trainer = Trainer(dataset, opt, pipe, scene, raster_cfg=raster_cfg)
+    if args.mesh > 0:
+        from trase_tpu.parallel import ShardedTrainer
+
+        trainer = ShardedTrainer(dataset, opt, pipe, scene,
+                                 raster_cfg=raster_cfg,
+                                 mesh_devices=args.mesh,
+                                 backend=args.mesh_backend)
+    else:
+        trainer = Trainer(dataset, opt, pipe, scene, raster_cfg=raster_cfg)
 
     first_iter = 0
     if args.load_iteration != -1:

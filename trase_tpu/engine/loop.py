@@ -115,6 +115,8 @@ class Trainer:
         self._smooth_map = None
         self._smooth_dirty = True
 
+        self.overflow_warn_frac = float(
+            getattr(opt_args, "overflow_warn_frac", 0.02))
         self.ema_loss = 0.0
         self.ema_pos = 0.0
         self.ema_neg = 0.0
@@ -304,6 +306,9 @@ class Trainer:
         self._smooth_dirty = True
         return stats
 
+    def _reset_opacity(self):
+        self.state = T.reset_opacity_step(self.state)
+
     # ------------------------------------------------------------- train
 
     def train(self, first_iter: int = 0, testing_iterations=(),
@@ -374,6 +379,25 @@ class Trainer:
             finite = bool(metrics["finite"])
             if not finite:
                 print("NaN loss detected!!!")
+            if "overflow" in metrics and iteration % 100 == 0:
+                # pair-budget truncation guard: the reference rasterizer
+                # has unbounded per-gaussian tile coverage; ours trades a
+                # static K pair budget (RasterConfig.pairs_per_gaussian)
+                # for TPU-static shapes. Complain loudly when the drop
+                # rate is no longer negligible so the user raises K.
+                dropped = float(metrics["overflow"])
+                total = max(float(G.num_alive(self.state.aux))
+                            * self.raster_cfg.pairs_per_gaussian, 1.0)
+                frac = dropped / total
+                if self.tb:
+                    self.tb.scalar("overflow/dropped_pairs", dropped,
+                                   iteration)
+                if frac > self.overflow_warn_frac:
+                    print(f"[ITER {iteration}] WARNING: pair budget "
+                          f"overflow {dropped:.0f} dropped pairs "
+                          f"({frac:.1%} of budget) — raise "
+                          f"--pairs_per_gaussian (K="
+                          f"{self.raster_cfg.pairs_per_gaussian})")
             else:
                 self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
                 self.opt_state.step()
@@ -424,7 +448,7 @@ class Trainer:
                 if iteration % opt.opacity_reset_interval == 0 or (
                         self.args.white_background
                         and iteration == opt.densify_from_iter):
-                    self.state = T.reset_opacity_step(self.state)
+                    self._reset_opacity()
 
             if iteration in checkpoint_iterations:
                 self.save_ckpt(iteration)
@@ -557,6 +581,8 @@ class Trainer:
         )
 
     def load_ckpt(self, path: str):
+        if path.endswith(".pth"):
+            return self.load_reference_ckpt(path)
         payload = load_checkpoint(path)
         tmpl = self.state
         flat_np, _ = jax.tree_util.tree_flatten(payload["state"])
@@ -567,4 +593,22 @@ class Trainer:
         self.active_sh_degree = payload["active_sh_degree"]
         self.opt_state.state, self.opt_state.iterations = \
             payload["opt_state"]
+        self._postload()
         return payload["iteration"]
+
+    def load_reference_ckpt(self, path: str):
+        """Resume from a reference torch ``chkpnt<N>.pth`` (train.py:396,
+        gaussians.capture tuple). Deform weights are NOT in the
+        reference checkpoint (its restore omits them too) — bring those
+        via a snapshot deform.pth + tools.import_torch if needed."""
+        from ..tools.import_torch import import_chkpnt_pth
+
+        params, aux, opt, meta = import_chkpnt_pth(path)
+        self.state = self.state._replace(params=params, aux=aux, opt=opt)
+        self.active_sh_degree = int(meta["active_sh_degree"])
+        self._smooth_dirty = True
+        self._postload()
+        return meta["iteration"]
+
+    def _postload(self):
+        """Hook for subclasses that must re-place state after a load."""

@@ -51,6 +51,36 @@ def _row_spec(x):
     return P()
 
 
+def interleave_rows(state, n_shards: int):
+    """Round-robin permute the slot rows (params/aux/opt; deform
+    untouched) so alive and free slots distribute evenly across shards.
+
+    Fresh / compacted / imported states pack alive rows at the front of
+    the capacity buffer; under block sharding the leading shards then
+    hold no free slots and the per-shard free-slot allocation in the
+    sharded densify (make_sharded_densify) starves while trailing
+    shards sit empty. Slot order is an implementation detail (the
+    reference's cat-based growth renumbers slots too), so a permutation
+    is semantics-free.
+    """
+    c = state.params.xyz.shape[0]
+    if c % n_shards:
+        raise ValueError(f"capacity {c} not divisible by {n_shards}")
+    perm = np.arange(c).reshape(c // n_shards, n_shards).T.reshape(-1)
+
+    def permute(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == c:
+            return x[perm]
+        return x
+
+    tm = jax.tree_util.tree_map
+    return state._replace(
+        params=tm(permute, state.params),
+        aux=tm(permute, state.aux),
+        opt=tm(permute, state.opt),
+    )
+
+
 def shard_train_state(mesh: Mesh, state):
     """Place a TrainState (or any pytree whose per-gaussian arrays have
     the capacity as leading dim) on the mesh: per-row arrays sharded on
@@ -78,13 +108,13 @@ def shard_train_state(mesh: Mesh, state):
 
 def _gathered_projection(params_shard, alive_shard, d_xyz, d_rot, d_scale,
                          cam: CameraBuffers, H, W, sh_degree,
-                         mean2d_offset_shard):
+                         mean2d_offset_shard, is_6dof: bool = False):
     """Project the local gaussian shard, then all-gather the (small)
     projected representation so every device can composite any tile."""
     from ..renderer import apply_deformation
 
     means3d, scales, rots = apply_deformation(
-        params_shard, d_xyz, d_rot, d_scale
+        params_shard, d_xyz, d_rot, d_scale, is_6dof=is_6dof
     )
     opacity = G.get_opacity(params_shard)[:, 0]
     opacity = jnp.where(alive_shard, opacity, 0.0)
@@ -241,6 +271,55 @@ def sharded_render_fn(mesh: Mesh, H: int, W: int, sh_degree: int,
     ))
 
 
+def sharded_eval_render_fn(mesh: Mesh, deform_net, H: int, W: int,
+                           sh_degree: int, *,
+                           is_6dof: bool = False,
+                           raster_cfg: RT.RasterConfig = RT.RasterConfig(),
+                           backend: str | None = None):
+    """Jitted multi-device render WITH the deform MLP applied at time
+    ``fid`` — the eval/`render_view` path of the mesh trainer. Params
+    sharded on AXIS, deform vars replicated, image replicated out."""
+    from ..engine.trainer import _apply_deform
+
+    n_shards = mesh.shape[AXIS]
+    if backend is None:
+        backend = ("pallas"
+                   if jax.default_backend().startswith("tpu") else "dense")
+    compositor = (_composite_my_rows_pallas if backend == "pallas"
+                  else _composite_my_tiles)
+    params_specs = G.GaussianParams(
+        *[P(AXIS)] * len(G.GaussianParams._fields))
+    cam_specs = CameraBuffers(*[P()] * len(CameraBuffers._fields))
+
+    def _render(params_shard, alive_shard, deform_vars, fid,
+                cam: CameraBuffers, bg_color):
+        d_xyz, d_rot, d_scale = _apply_deform(
+            deform_net, deform_vars, params_shard.xyz, fid, 0.0,
+            True, stop_grad_deform=True,
+            gaussian_features=params_shard.gaussian_features)
+        proj = _gathered_projection(
+            params_shard, alive_shard, d_xyz, d_rot, d_scale, cam,
+            H, W, sh_degree, None, is_6dof=is_6dof)
+        out = compositor(proj, None, bg_color, H, W, raster_cfg, n_shards)
+        return out["render"]
+
+    def _specs_like(tree, spec):
+        return jax.tree_util.tree_map(lambda _: spec, tree)
+
+    def build(deform_vars_template):
+        fn = shard_map(
+            _render, mesh=mesh,
+            in_specs=(params_specs, P(AXIS),
+                      _specs_like(deform_vars_template, P()), P(),
+                      cam_specs, P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    return build
+
+
 def make_sharded_gaussian_step(
     mesh: Mesh,
     deform_net: DeformNetwork,
@@ -249,7 +328,9 @@ def make_sharded_gaussian_step(
     sh_degree: int,
     *,
     use_deform: bool = True,
+    is_6dof: bool = False,
     lambda_dssim: float = 0.2,
+    lambda_reg_deform: float = 0.0,
     raster_cfg: RT.RasterConfig = RT.RasterConfig(),
     backend: str | None = None,
 ):
@@ -287,13 +368,20 @@ def make_sharded_gaussian_step(
                 gaussian_features=params_shard.gaussian_features)
             proj = _gathered_projection(
                 params_shard, aux.alive, d_xyz, d_rot, d_scale,
-                cam, H, W, sh_degree, off_shard)
+                cam, H, W, sh_degree, off_shard, is_6dof=is_6dof)
             out = compositor(
                 proj, None, bg_color, H, W, raster_cfg, n_shards)
             image = out["render"]
             ll1 = l1_loss(image, gt_image)
             loss = (1 - lambda_dssim) * ll1 + lambda_dssim * (
                 1 - ssim(image, gt_image))
+            if use_deform and lambda_reg_deform > 0:
+                # global |d_xyz| mean: psum of local sums keeps the loss
+                # replicated AND routes the exact gradient to each shard
+                # (the VJP of psum is the identity broadcast)
+                n_elem = d_xyz.size * n_shards
+                reg = jax.lax.psum(jnp.abs(d_xyz).sum(), AXIS) / n_elem
+                loss = loss + lambda_reg_deform * reg
             return loss, (ll1, out["overflow"], proj.radius)
 
         (loss, (ll1, overflow, radii_full)), grads = jax.value_and_grad(
@@ -467,6 +555,7 @@ def make_sharded_feature_step(
     sh_degree: int,
     *,
     use_deform: bool = True,
+    is_6dof: bool = False,
     contrastive_mode: str = "soft",
     rfn: float = 1.0,
     positive_th: float = 0.75,
@@ -545,7 +634,7 @@ def make_sharded_feature_step(
             params = p._replace(gaussian_features=feat_shard)
             proj = _gathered_projection(
                 params, aux.alive, d_xyz, d_rot, d_scale,
-                cam, H, W, sh_degree, off_shard)
+                cam, H, W, sh_degree, off_shard, is_6dof=is_6dof)
             flat = feat_shard.reshape(local_c, -1)
             normed = flat / jnp.sqrt(
                 jnp.sum(flat * flat, axis=-1, keepdims=True) + 1e-12)
@@ -576,8 +665,10 @@ def make_sharded_feature_step(
 
             hm, wm = mask_hw
             if feats.shape[1:] != (hm, wm):
-                feats = jax.image.resize(
-                    feats, (feats.shape[0], hm, wm), method="linear")
+                from ..utils.image import bilinear_resize
+
+                feats = bilinear_resize(feats, hm, wm,
+                                        channel_last=False)
             C_F = features_correspondence_matrix(feats, sample)
             pos = positive_pixel_pair_loss[contrastive_mode](
                 C, C_F, sample, positive_th=positive_th, weights=weights)
