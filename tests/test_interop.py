@@ -157,3 +157,139 @@ def test_deform_pth_import_matches_reference_math():
     ours = deform_step(net, variables, jnp.asarray(x), jnp.asarray(t))
     for a, b in zip(ref_out, ours):
         np.testing.assert_allclose(np.asarray(b), a, atol=2e-5, rtol=1e-4)
+
+
+def _fake_capture(n=50, sh_degree=1, rng=None, opt_shape="dual"):
+    """Build a reference-format gaussians.capture() tuple
+    (scene/gaussian_model.py:106-121) with torch tensors."""
+    rng = rng or np.random.default_rng(7)
+    r = (sh_degree + 1) ** 2 - 1
+    t = lambda *s: torch.tensor(  # noqa: E731
+        rng.normal(size=s).astype(np.float32))
+    xyz = torch.tensor(
+        (rng.normal(size=(n, 3)) * 0.4 + [0, 0, 3]).astype(np.float32))
+    f_dc, f_rest = t(n, 1, 3), t(n, r, 3)
+    scaling = torch.tensor(
+        np.full((n, 3), -4.0, np.float32))
+    rotation = torch.zeros((n, 4)); rotation[:, 0] = 1.0
+    opacity = torch.full((n, 1), 0.5)
+    gfeats = t(n, 1, 32)
+    max_radii = torch.zeros((n,))
+    accum = t(n, 1).abs()
+    denom = torch.ones((n, 1))
+
+    def adam_sd(names_shapes):
+        state, groups = {}, []
+        for i, (name, p) in enumerate(names_shapes):
+            state[i] = {"step": torch.tensor(17.0),
+                        "exp_avg": torch.full_like(p, 0.25),
+                        "exp_avg_sq": torch.full_like(p, 0.5)}
+            groups.append({"name": name, "params": [i]})
+        return {"state": state, "param_groups": groups}
+
+    g_sd = adam_sd([("xyz", xyz), ("f_dc", f_dc), ("f_rest", f_rest),
+                    ("opacity", opacity), ("scaling", scaling),
+                    ("rotation", rotation)])
+    f_sd = adam_sd([("gaussian_feats", gfeats)])
+    if opt_shape == "dual":
+        opt_sd = {"GAUSSIAN": g_sd, "FEATURE": f_sd}
+    elif opt_shape == "single":
+        opt_sd = adam_sd([("xyz", xyz), ("f_dc", f_dc),
+                          ("f_rest", f_rest), ("opacity", opacity),
+                          ("scaling", scaling), ("rotation", rotation),
+                          ("gaussian_feats", gfeats)])
+    else:
+        opt_sd = None
+    return (sh_degree, xyz, f_dc, f_rest, scaling, rotation, opacity,
+            gfeats, max_radii, accum, denom, opt_sd, 4.5)
+
+
+@pytest.mark.parametrize("opt_shape", ["dual", "single", "none"])
+def test_chkpnt_pth_import(tmp_path, opt_shape):
+    """Reference chkpntN.pth (train.py:396: torch.save((capture(),
+    iteration))) -> our fixed-capacity TrainState pieces, then a render
+    goes through without hand-editing."""
+    import jax
+    import jax.numpy as jnp
+
+    from trase_tpu.models import gaussians as G
+    from trase_tpu.tools.import_torch import import_chkpnt_pth
+
+    n = 50
+    cap = _fake_capture(n=n, opt_shape=opt_shape)
+    path = str(tmp_path / "chkpnt300.pth")
+    torch.save((cap, 300), path)
+
+    params, aux, opt, meta = import_chkpnt_pth(path)
+    assert meta["iteration"] == 300
+    assert meta["active_sh_degree"] == 1
+    assert meta["spatial_lr_scale"] == 4.5
+    assert int(G.num_alive(aux)) == n
+    capacity = params.xyz.shape[0]
+    assert capacity >= 2 * n and capacity % 2 == 0
+
+    np.testing.assert_allclose(np.asarray(params.xyz[:n]),
+                               cap[1].numpy(), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(params.features_rest[:n]),
+                               cap[3].numpy(), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params.gaussian_features[:n]),
+        cap[7].numpy().reshape(n, -1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(aux.xyz_gradient_accum[:n]),
+                               cap[9].numpy().reshape(n), rtol=1e-6)
+    # optimizer state mapped (or zero-initialised when absent)
+    if opt_shape == "none":
+        assert float(jnp.abs(opt.xyz.mu).max()) == 0.0
+    else:
+        np.testing.assert_allclose(np.asarray(opt.xyz.mu[:n]), 0.25)
+        np.testing.assert_allclose(np.asarray(opt.rotation.nu[:n]), 0.5)
+        assert int(opt.scaling.step) == 17
+        np.testing.assert_allclose(
+            np.asarray(opt.gaussian_features.mu[:n]), 0.25)
+
+    # dead-slot fills match our layout (no NaNs in a render)
+    from trase_tpu.ops.rasterize import RasterConfig
+    from trase_tpu.renderer import make_render_camera, render
+
+    camera = make_render_camera(np.eye(3), np.zeros(3), 0.8, 0.8, 64, 64)
+    out = jax.jit(lambda p: render(
+        camera, p, aux.alive, jnp.zeros(3), sh_degree=1,
+        with_features=False,
+        raster_cfg=RasterConfig(pairs_per_gaussian=4, max_per_tile=128,
+                                tile_batch=2)))(params)
+    img = np.asarray(out["render"])
+    assert np.isfinite(img).all()
+
+
+def test_trainer_resumes_from_reference_chkpnt(tmp_path):
+    """--start_checkpoint chkpntN.pth resumes training (train.py:77-78
+    reference behavior) through Trainer.load_reference_ckpt."""
+    from test_train_loop import _Args, _Opt, _Pipe
+    from trase_tpu.data.scene import Scene
+    from trase_tpu.data.synthetic import write_synthetic_dataset
+    from trase_tpu.engine.loop import Trainer
+    from trase_tpu.ops.rasterize import RasterConfig
+
+    d = str(tmp_path / "synth")
+    write_synthetic_dataset(d, n_train=3, n_test=1, image_size=48,
+                            n_blobs=2, pts_per_blob=24)
+    cap = _fake_capture(n=40, opt_shape="dual")
+    ck = str(tmp_path / "chkpnt100.pth")
+    torch.save((cap, 100), ck)
+
+    args = _Args(d, str(tmp_path / "model"))
+    opt = _Opt()
+    opt.iterations = 104
+    opt.densify_until_iter = 0
+    opt.warm_up_3d_features = 1000
+    scene = Scene(args, resolution_scales=(1.0,))
+    tr = Trainer(args, opt, _Pipe(), scene,
+                 raster_cfg=RasterConfig(pairs_per_gaussian=4,
+                                         max_per_tile=128, tile_batch=4))
+    it = tr.load_ckpt(ck)  # .pth dispatches to the reference importer
+    assert it == 100
+    assert tr.active_sh_degree == 1
+    losses = []
+    tr.train(first_iter=it, progress=False,
+             on_iteration=lambda t, i, m: losses.append(float(m["loss"])))
+    assert len(losses) == 4 and all(np.isfinite(losses))

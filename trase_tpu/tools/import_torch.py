@@ -127,23 +127,156 @@ def import_deform_pth(path: str, *, model_type: str = "DeformNetwork",
     return {"vars": variables, "type": model_type}
 
 
+def _adam_state_for(opt_sd: dict | None, group_name: str, param,
+                    n_expected: int):
+    """torch.optim.Adam state_dict -> our AdamState(mu, nu, step) for
+    the named param group; zeros when the state is absent (a param the
+    reference never stepped has no entry)."""
+    import jax.numpy as jnp
+
+    from ..engine.optim import AdamState, adam_init
+
+    if opt_sd is None:
+        return adam_init(jnp.asarray(param))
+    # param_groups[i]["params"] are integer ids into state{}
+    for g in opt_sd.get("param_groups", []):
+        if g.get("name") != group_name:
+            continue
+        for pid in g["params"]:
+            st = opt_sd.get("state", {}).get(pid)
+            if st is None:
+                break
+
+            def to_np(v):
+                return np.asarray(v.detach().cpu().numpy()
+                                  if hasattr(v, "detach") else v,
+                                  np.float32)
+
+            mu = to_np(st["exp_avg"])
+            nu = to_np(st["exp_avg_sq"])
+            if mu.shape[0] != n_expected:
+                break
+            step = st.get("step", 0)
+            step = int(step.item() if hasattr(step, "item") else step)
+            return AdamState(mu=jnp.asarray(mu), nu=jnp.asarray(nu),
+                             step=jnp.asarray(step, jnp.int32))
+    return adam_init(jnp.asarray(param))
+
+
+def import_gaussian_capture(model_args, *, capacity: int | None = None):
+    """Reference ``gaussians.capture()`` 13-tuple -> (params, aux, opt,
+    meta) in our fixed-capacity layout (scene/gaussian_model.py:106-140).
+
+    The reference's own ``capture`` predates its dual-optimizer refactor
+    (``self.optimizer`` is a {"GAUSSIAN","FEATURE"} dict at
+    scene/gaussian_model.py:286-289, so ``.state_dict()`` raises) — we
+    accept all three shapes that exist in the wild: a single torch Adam
+    state_dict (upstream Deformable-3DGS checkpoints), a dict of two
+    state_dicts, or None.
+    """
+    import jax.numpy as jnp
+
+    from ..models import gaussians as G
+
+    (active_sh_degree, xyz, f_dc, f_rest, scaling, rotation, opacity,
+     gaussian_features, max_radii2d, xyz_grad_accum, denom, opt_sd,
+     spatial_lr_scale) = model_args
+
+    def to_np(v):
+        return np.asarray(v.detach().cpu().numpy()
+                          if hasattr(v, "detach") else v, np.float32)
+
+    xyz = to_np(xyz)
+    n = xyz.shape[0]
+    feats = to_np(gaussian_features).reshape(n, -1)
+    params = G.GaussianParams(
+        xyz=jnp.asarray(xyz),
+        features_dc=jnp.asarray(to_np(f_dc)),
+        features_rest=jnp.asarray(to_np(f_rest)),
+        scaling=jnp.asarray(to_np(scaling)),
+        rotation=jnp.asarray(to_np(rotation)),
+        opacity=jnp.asarray(to_np(opacity)),
+        gaussian_features=jnp.asarray(feats),
+        cluster_id=jnp.full((n, 1), -1.0, jnp.float32),
+    )
+    aux = G.GaussianAux(
+        alive=jnp.ones((n,), bool),
+        max_radii2d=jnp.asarray(to_np(max_radii2d).reshape(n)),
+        xyz_gradient_accum=jnp.asarray(to_np(xyz_grad_accum).reshape(n)),
+        denom=jnp.asarray(to_np(denom).reshape(n)),
+    )
+    # normalize the three optimizer shapes to {group_name: state_dict}
+    g_sd = f_sd = None
+    if isinstance(opt_sd, dict):
+        if "GAUSSIAN" in opt_sd or "FEATURE" in opt_sd:
+            g_sd, f_sd = opt_sd.get("GAUSSIAN"), opt_sd.get("FEATURE")
+        elif "param_groups" in opt_sd:
+            g_sd = f_sd = opt_sd
+    opt = G.GaussianOptState(
+        xyz=_adam_state_for(g_sd, "xyz", params.xyz, n),
+        features_dc=_adam_state_for(g_sd, "f_dc", params.features_dc, n),
+        features_rest=_adam_state_for(g_sd, "f_rest",
+                                      params.features_rest, n),
+        scaling=_adam_state_for(g_sd, "scaling", params.scaling, n),
+        rotation=_adam_state_for(g_sd, "rotation", params.rotation, n),
+        opacity=_adam_state_for(g_sd, "opacity", params.opacity, n),
+        gaussian_features=_adam_state_for(
+            f_sd, "gaussian_feats", params.gaussian_features, n),
+    )
+    if capacity is None:
+        capacity = max(int(2 ** np.ceil(np.log2(max(n * 2, 1024)))), 1024)
+    if capacity > n:
+        params, aux, opt = G.grow_capacity(params, aux, opt, capacity)
+    meta = {
+        "active_sh_degree": int(active_sh_degree),
+        "spatial_lr_scale": float(spatial_lr_scale),
+        "n_alive": n,
+    }
+    return params, aux, opt, meta
+
+
+def import_chkpnt_pth(path: str, *, capacity: int | None = None):
+    """Load a reference ``chkpnt<N>.pth`` — ``torch.save((capture(),
+    iteration), ...)`` at train.py:396 — into our state layout."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    model_args, iteration = payload
+    params, aux, opt, meta = import_gaussian_capture(
+        model_args, capacity=capacity)
+    meta["iteration"] = int(iteration)
+    return params, aux, opt, meta
+
+
 def main(argv=None):
     import argparse
     import os
     import pickle
 
     ap = argparse.ArgumentParser(
-        description="Convert a reference deform.pth to deform.pkl")
+        description="Convert reference torch checkpoints "
+                    "(deform.pth / chkpntN.pth) to our formats")
     ap.add_argument("--input", "-i", required=True)
     ap.add_argument("--output", "-o", required=True)
+    ap.add_argument("--kind", choices=["deform", "chkpnt"],
+                    default="deform")
     ap.add_argument("--model_type", default="DeformNetwork")
     ap.add_argument("--is_blender", action="store_true")
     ap.add_argument("--is_6dof", action="store_true")
     args = ap.parse_args(argv)
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    if args.kind == "chkpnt":
+        params, aux, opt, meta = import_chkpnt_pth(args.input)
+        with open(args.output, "wb") as f:
+            pickle.dump({"params": params, "aux": aux, "opt": opt,
+                         "meta": meta}, f)
+        print(f"{args.input} -> {args.output} "
+              f"(iteration {meta['iteration']}, {meta['n_alive']} "
+              f"gaussians, sh_degree {meta['active_sh_degree']})")
+        return
     payload = import_deform_pth(args.input, model_type=args.model_type,
                                 is_blender=args.is_blender,
                                 is_6dof=args.is_6dof)
-    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     with open(args.output, "wb") as f:
         pickle.dump(payload, f)
     n = sum(v.size for p in payload["vars"]["params"].values()
