@@ -230,3 +230,88 @@ def test_all_deform_variants_train(synth_dir, tmp_path, deform_type):
     assert len(losses) == 8
     assert all(np.isfinite(losses))
     assert T.GAUSSIAN in phases and T.FEATURE in phases
+
+
+def test_feature_step_mask_resolution_resize(synth_dir):
+    """FEATURE phase with masks at a DIFFERENT resolution than the
+    render: the rendered feature image is bilinear-resized to mask
+    resolution before the correspondence matrices (reference
+    train.py:284 F.interpolate(..., mode='bilinear')), while the
+    feature-norm reg uses the UN-resized image. Recompute the loss
+    independently through torch's interpolate to pin both the plumbing
+    and the jax/torch bilinear equivalence."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from trase_tpu.engine import trainer as T
+    from trase_tpu.losses.contrastive import (
+        features_correspondence_matrix,
+        negative_pixel_pair_loss,
+        pixel_mask_correspondence_matrix,
+        pixel_weights,
+        positive_pixel_pair_loss,
+        sample_pixels_and_masks,
+    )
+    from trase_tpu.models import gaussians as G
+    from trase_tpu.models.deform import init_deform, make_deform_network
+    from trase_tpu.ops.rasterize import RasterConfig
+    from trase_tpu.renderer import make_render_camera, render
+
+    rng_np = np.random.default_rng(2)
+    n = 80
+    pts = (rng_np.normal(size=(n, 3)) * 0.4).astype(np.float32)
+    pts[:, 2] += 3.0
+    cols = rng_np.uniform(size=(n, 3)).astype(np.float32)
+    params, aux = G.from_point_cloud(
+        pts, cols, sh_degree=1, capacity=256,
+        dist2=np.full(n, 0.01, np.float32))
+    net = make_deform_network("DeformNetwork")
+    dvars = init_deform(jax.random.PRNGKey(0), net)
+    state = T.init_train_state(params, aux, dvars)
+
+    H, W = 48, 64
+    hm, wm = 24, 40  # mask resolution != render resolution
+    cam = make_render_camera(np.eye(3), np.zeros(3), 0.8, 0.8, H, W)
+    cfg = RasterConfig(pairs_per_gaussian=4, max_per_tile=128, tile_batch=2)
+    masks = jnp.asarray((rng_np.random((5, hm, wm)) > 0.55)
+                        .astype(np.float32))
+    valid = jnp.ones((5,), bool)
+    lrs = T.LearningRates(*[jnp.float32(1e-3)] * 8)
+    key = jax.random.PRNGKey(3)
+
+    _, metrics = T.feature_phase_step(
+        state, cam.buffers, masks, valid, jnp.float32(0.5), key, lrs,
+        jnp.zeros(3), jnp.zeros((256, 1), jnp.int32),
+        deform_net=net, image_height=H, image_width=W, sh_degree=1,
+        use_deform=False, is_6dof=False, contrastive_mode="soft",
+        rfn=1.0, positive_th=0.75, negative_th=0.5,
+        num_sampled_pixels=64, num_sampled_masks=4, use_smoothing=False,
+        smooth_dropout=0.5, mask_hw=(hm, wm), raster_cfg=cfg)
+
+    # independent recomputation with torch's bilinear
+    rng_sample, _ = jax.random.split(key)
+    sample = sample_pixels_and_masks(rng_sample, masks, valid, 64, 4)
+    C = pixel_mask_correspondence_matrix(masks, sample)
+    weights = pixel_weights(masks, sample)
+    out = render(cam, params, aux.alive, jnp.zeros(3), sh_degree=1,
+                 with_features=True, norm_gaussian_features=True,
+                 raster_cfg=cfg)
+    feats = out["render_gaussian_features"]  # (F, H, W), un-resized
+    rf_norm = float(jnp.sqrt(
+        jnp.sum(feats * feats, axis=0) + 1e-12).mean())
+    tfeats = torch.from_numpy(np.asarray(feats))[None]
+    tresized = torch.nn.functional.interpolate(
+        tfeats, (hm, wm), mode="bilinear").squeeze(0)
+    feats_resized = jnp.asarray(tresized.numpy())
+    C_F = features_correspondence_matrix(feats_resized, sample)
+    pos = positive_pixel_pair_loss["soft"](C, C_F, sample,
+                                           positive_th=0.75,
+                                           weights=weights)
+    neg = negative_pixel_pair_loss["soft"](C, C_F, sample,
+                                           negative_th=0.5,
+                                           weights=weights)
+    expected = float(pos + neg + (1.0 - rf_norm) ** 2)
+    np.testing.assert_allclose(float(metrics["loss"]), expected,
+                               rtol=2e-5)
+    assert bool(metrics["finite"])

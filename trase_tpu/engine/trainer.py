@@ -361,9 +361,12 @@ def feature_phase_step(
 
         hm, wm = mask_hw
         if feats.shape[:2] != (hm, wm):
-            feats = jax.image.resize(
-                feats, (hm, wm, feats.shape[-1]), method="linear"
-            )
+            # torch-interpolate-equivalent bilinear (align_corners=False,
+            # NO antialias — jax.image.resize antialiases on downscale),
+            # matching reference train.py:284
+            from ..utils.image import bilinear_resize
+
+            feats = bilinear_resize(feats, hm, wm)
         C_F = features_correspondence_matrix_hwc(feats, sample)
         pos = positive_pixel_pair_loss[contrastive_mode](
             C, C_F, sample, positive_th=positive_th, weights=weights
