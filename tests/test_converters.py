@@ -132,3 +132,69 @@ def test_technicolor_converter(tmp_path):
     info = read_multi_view_info(str(tech_dir), eval=True)
     assert len(info.train_cameras) == (n_cams - 1) * N_FRAMES
     assert len(info.test_cameras) == N_FRAMES
+
+
+def test_immersive_converter(tmp_path):
+    """immersive2blender: per-camera mp4s + models.json fisheye
+    calibration -> undistorted stills, models_new.json rectified
+    intrinsics, per-frame-intrinsics transforms (camera 0 = test),
+    loadable through the immersive reader convention."""
+    import immersive2blender
+    from scipy.spatial.transform import Rotation
+
+    scene = tmp_path / "immersive_toy"
+    scene.mkdir()
+    n_cams = 3
+    models = []
+    for i in range(n_cams):
+        name = f"camera_{i + 1:04d}"
+        _write_video(str(scene / f"{name}.mp4"), seed=i)
+        eye = np.array([1.1 * i - 1.1, 0.1 * i, 4.0])
+        fwd = -eye / np.linalg.norm(eye)
+        up = np.array([0, 1, 0.0])
+        right = np.cross(fwd, up); right /= np.linalg.norm(right)
+        dn = np.cross(fwd, right)
+        R_w2c = np.stack([right, dn, fwd], axis=0)
+        models.append({
+            "name": name,
+            "width": W, "height": H,
+            "focal_length": 80.0,
+            "principal_point": [W / 2, H / 2],
+            "radial_distortion": [0.02, 0.002, 0.0, 0.0],
+            "orientation": Rotation.from_matrix(R_w2c).as_rotvec().tolist(),
+            "position": eye.tolist(),
+        })
+    (scene / "models.json").write_text(json.dumps(models))
+
+    immersive2blender.main(["--path", str(scene), "--end", str(N_FRAMES),
+                            "--random_points"])
+
+    # rectified calibration written back
+    meta = json.loads((scene / "models_new.json").read_text())
+    assert len(meta) == n_cams
+    assert meta[0]["focal_length"] > 0
+    # undistorted stills: camera_XXXX_FFFF.png for every (cam, frame)
+    imgs = sorted(os.listdir(scene / "images"))
+    assert len(imgs) == n_cams * N_FRAMES
+    assert imgs[0] == f"camera_0001_0000.png"
+
+    tt = json.loads((scene / "transforms_train.json").read_text())
+    te = json.loads((scene / "transforms_test.json").read_text())
+    assert len(tt["frames"]) == (n_cams - 1) * N_FRAMES
+    assert len(te["frames"]) == N_FRAMES  # camera 0 is the test split
+    f0 = tt["frames"][0]
+    # per-frame intrinsics and w2c poses, the immersive convention
+    assert {"fl_x", "cx", "w", "h", "time", "transform_matrix"} <= set(f0)
+    assert "fl_x" not in tt  # no top-level intrinsics -> immersive type
+    assert f0["time"] == 0.0
+    assert (scene / "points3d.ply").exists()
+
+    from trase_tpu.data.readers import read_multi_view_info
+
+    info = read_multi_view_info(str(scene), eval=True)
+    assert len(info.train_cameras) == (n_cams - 1) * N_FRAMES
+    assert len(info.test_cameras) == N_FRAMES
+    fids = sorted({c.fid for c in info.train_cameras})
+    assert len(fids) == N_FRAMES and fids[0] == 0.0
+    c0 = info.train_cameras[0]
+    assert c0.image.size == (W, H) or c0.width == W

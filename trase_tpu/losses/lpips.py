@@ -57,6 +57,10 @@ def make_lpips(vgg_weights: str | None, lin_weights: str | None = None):
     if lins is None:
         # uniform heads: still a valid perceptual distance, just not
         # the calibrated LPIPS v0.1 weighting
+        print("[lpips] WARNING: no linear-head weights — using uniform "
+              "heads. Reported values are a VGG perceptual distance, "
+              "NOT calibrated LPIPS v0.1; do not compare against "
+              "published LPIPS numbers (pass --lpips_weights).")
         lins = [np.full(c, 1.0 / c, np.float32) for c in _LPIPS_CHANNELS]
     lins = [jnp.asarray(w) for w in lins]
 
