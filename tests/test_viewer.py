@@ -196,3 +196,90 @@ def test_composition(model_dir, tmp_path):
     comp_id = v.render_composite_frame()
     lit = base.max(0) > 0.05
     assert np.abs(comp_id - base)[:, lit].mean() < 0.15
+
+
+def test_web_viewer_server(model_dir):
+    """Browser GUI (trase_tpu/viewer_web.py): page + modes + JPEG frames
+    + the full command surface over HTTP — the interactive-app analog of
+    reference gui.py, exercised through a real (loopback) server."""
+    import io
+    import json
+    import urllib.request
+
+    from PIL import Image
+
+    from trase_tpu.viewer import HeadlessViewer
+    from trase_tpu.viewer_web import ViewerServer
+
+    scene, mdir = model_dir
+    v = HeadlessViewer.from_model_path(mdir, sh_degree=1, W=96, H=96,
+                                       radius=3.0, backend="dense")
+    srv = ViewerServer(v)
+    port = srv.serve(port=0, block=False)
+    base = f"http://127.0.0.1:{port}"
+
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=60) as r:
+            return r.headers.get_content_type(), r.read()
+
+    def cmd(**body):
+        req = urllib.request.Request(
+            base + "/cmd", data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    try:
+        ctype, page = get("/")
+        assert ctype == "text/html" and b"trase_tpu viewer" in page
+        ctype, modes = get("/modes")
+        assert json.loads(modes) == list(
+            __import__("trase_tpu.viewer", fromlist=["MODES"]).MODES)
+
+        # a frame decodes as a JPEG of the viewer size
+        ctype, frame = get("/frame.jpg")
+        assert ctype == "image/jpeg"
+        im = Image.open(io.BytesIO(frame))
+        assert im.size == (96, 96)
+        base_px = np.asarray(im, np.float32)
+
+        # navigation + time + mode switching through the API
+        st = cmd(cmd="orbit", dx=40, dy=0)
+        assert st["ok"]
+        st = cmd(cmd="zoom", delta=1)
+        st = cmd(cmd="mode", name="Depth")
+        assert st["mode"] == "Depth"
+        _, dframe = get("/frame.jpg")
+        assert np.abs(np.asarray(Image.open(io.BytesIO(dframe)),
+                                 np.float32) - base_px).max() > 1
+        cmd(cmd="mode", name="Render")
+
+        # click-select the pixel under blob 0, then removal rendering
+        assert v.cluster_ids is not None  # clusters.pt from earlier test
+        cam = v._render_camera()
+        c = scene["centers"][0]
+        hom = np.array([*c, 1.0], np.float32)
+        p = hom @ np.asarray(cam.buffers.full_proj)
+        px = ((p[0] / p[3] + 1) * v.W - 1) * 0.5
+        py = ((p[1] / p[3] + 1) * v.H - 1) * 0.5
+        st = cmd(cmd="click", px=float(px), py=float(py))
+        assert st["selected"], st
+        st = cmd(cmd="removal", on=True)
+        assert st["removal"] is True
+        _, removed = get("/frame.jpg")
+        rm = np.asarray(Image.open(io.BytesIO(removed)), np.float32)
+        iy, ix = int(py), int(px)
+        assert rm[iy, ix].max() < base_px[iy, ix].max()
+
+        st = cmd(cmd="clear")
+        assert st["selected"] == [] and st["removal"] is False
+
+        # unknown commands surface as HTTP 500 with a JSON error
+        try:
+            cmd(cmd="definitely_not_a_command")
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert "error" in json.loads(e.read())
+    finally:
+        srv.shutdown()

@@ -1,0 +1,248 @@
+#!/usr/bin/env python
+"""Production-scale end-to-end validation (the BASELINE round-4 regime).
+
+The env has no dataset egress (BASELINE.md), so this grows the synthetic
+dynamic-scene benchmark to production scale instead: 1K-resolution
+views, two-phase training (GAUSSIAN photometric + FEATURE contrastive),
+densification to a target alive-gaussian count (default >=300k), then
+the full segmentation pipeline (HDBSCAN clustering -> cluster-to-object
+matching -> per-view predicted masks) scored with the reference's
+metrics: novel-view PSNR (reference train.py:482-489) and mask mIoU
+(reference metrics_segmentation.py:40-48,127).
+
+Usage (real chip, ~15 min):
+    python tools/validate_scale.py --out /tmp/scale_val
+CPU smoke (~2 min):
+    python tools/validate_scale.py --out /tmp/scale_smoke \
+        --image_size 96 --iterations 60 --pts_per_blob 32 \
+        --n_train 6 --n_test 2 --max_new 512
+
+Prints one JSON line {psnr, miou, n_alive, ...} and appends nothing —
+record the numbers in BASELINE.md by hand.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True,
+                    help="working dir (dataset + model are written here)")
+    ap.add_argument("--image_size", type=int, default=1008)
+    ap.add_argument("--n_blobs", type=int, default=5)
+    ap.add_argument("--pts_per_blob", type=int, default=2400)
+    ap.add_argument("--n_train", type=int, default=24)
+    ap.add_argument("--n_test", type=int, default=4)
+    ap.add_argument("--iterations", type=int, default=3000)
+    ap.add_argument("--target_alive", type=int, default=300_000,
+                    help="densify until at least this many alive "
+                         "gaussians (0 = just run the schedule)")
+    ap.add_argument("--pairs_per_gaussian", type=int, default=8)
+    ap.add_argument("--max_per_tile", type=int, default=1024)
+    ap.add_argument("--max_new", type=int, default=32768,
+                    help="per-densify growth budget")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="run the trainer over an N-device mesh")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from trase_tpu.config import (
+        ModelParams, OptimizationParams, PipelineParams,
+    )
+    from trase_tpu.data.scene import Scene
+    from trase_tpu.data.synthetic import write_synthetic_dataset
+    from trase_tpu.engine.loop import Trainer
+    from trase_tpu.models import gaussians as G
+    from trase_tpu.ops.rasterize import RasterConfig
+
+    data_dir = os.path.join(args.out, "data")
+    model_dir = os.path.join(args.out, "model")
+    t0 = time.perf_counter()
+    if not os.path.exists(os.path.join(data_dir, "transforms_train.json")):
+        print(f"[validate_scale] writing {args.image_size}px dataset "
+              f"({args.n_blobs} blobs x {args.pts_per_blob} pts)...")
+        write_synthetic_dataset(
+            data_dir, n_train=args.n_train, n_test=args.n_test,
+            image_size=args.image_size, n_blobs=args.n_blobs,
+            pts_per_blob=args.pts_per_blob, seed=args.seed,
+            fast_gt=args.image_size > 256)
+    t_data = time.perf_counter() - t0
+
+    dataset = ModelParams(source_path=data_dir, model_path=model_dir,
+                          eval=True, is_blender=True)
+    opt = OptimizationParams(
+        iterations=args.iterations,
+        warm_up=min(300, args.iterations // 10),
+        warm_up_3d_features=int(args.iterations * 0.6),
+        iterative_opt_interval=100,
+        densify_from_iter=50,
+        densify_until_iter=int(args.iterations * 0.55),
+        densification_interval=100,
+        densify_grad_threshold=2e-6,  # aggressive: drive N to the target
+        opacity_reset_interval=100_000,  # keep everything contributing
+        position_lr_max_steps=args.iterations,
+        deform_lr_max_steps=args.iterations,
+    )
+    pipe = PipelineParams()
+    raster_cfg = RasterConfig(pairs_per_gaussian=args.pairs_per_gaussian,
+                              max_per_tile=args.max_per_tile)
+
+    scene = Scene(dataset, resolution_scales=(1.0,))
+    if args.mesh > 0:
+        from trase_tpu.parallel import ShardedTrainer
+
+        trainer = ShardedTrainer(dataset, opt, pipe, scene,
+                                 raster_cfg=raster_cfg,
+                                 max_new_per_densify=args.max_new,
+                                 mesh_devices=args.mesh, seed=args.seed)
+    else:
+        trainer = Trainer(dataset, opt, pipe, scene,
+                          raster_cfg=raster_cfg,
+                          max_new_per_densify=args.max_new,
+                          seed=args.seed)
+
+    alive_track = []
+
+    def on_iteration(tr, iteration, metrics):
+        if iteration % 200 == 0:
+            n_alive = int(G.num_alive(tr.state.aux))
+            alive_track.append((iteration, n_alive))
+            print(f"  iter {iteration}: loss {float(metrics['loss']):.4f} "
+                  f"alive {n_alive}")
+        # keep densifying (ignore the schedule's until_iter) while under
+        # the alive target, the way a user would retune the schedule
+        if (args.target_alive and iteration < args.iterations * 0.8
+                and iteration % opt.densification_interval == 0
+                and iteration > opt.densify_until_iter
+                and int(G.num_alive(tr.state.aux)) < args.target_alive):
+            tr._densify(iteration)
+
+    t1 = time.perf_counter()
+    trainer.train(first_iter=0, saving_iterations={args.iterations},
+                  testing_iterations={args.iterations}, progress=True,
+                  on_iteration=on_iteration)
+    t_train = time.perf_counter() - t1
+    n_alive = int(G.num_alive(trainer.state.aux))
+    test_psnr = trainer.evaluate(args.iterations)
+
+    # ---- segmentation: cluster -> match clusters to GT blobs -> mIoU
+    import cluster as cluster_cli
+
+    from trase_tpu.cluster.clustering import load_clusters
+    from trase_tpu.data.masks import decode_mask_file
+    from trase_tpu.utils.general import search_for_max_iteration
+
+    it = search_for_max_iteration(os.path.join(model_dir, "point_cloud"))
+    cluster_cli.main(["-m", model_dir, "--sample_percent",
+                      "0.02" if n_alive > 100_000 else "1.0"])
+    ids, _ = load_clusters(os.path.join(
+        model_dir, "point_cloud", f"iteration_{it}", "clusters.pt"))
+    n_clusters = int(ids.max()) + 1
+    print(f"[validate_scale] {n_clusters} clusters over {n_alive} alive")
+
+    # the snapshot ply (what cluster.py consumed) holds the alive rows
+    # in capacity order — map cluster ids back onto the live state
+    from trase_tpu.engine import trainer as T
+    from trase_tpu.renderer import render
+
+    params = trainer.state.params
+    alive = trainer.state.aux.alive
+    deform_vars = trainer.state.deform_vars
+    capacity = params.xyz.shape[0]
+    alive_idx = np.flatnonzero(np.asarray(alive))
+    assert len(ids) == len(alive_idx), (len(ids), len(alive_idx))
+    cluster_of = np.full(capacity, -1, np.int64)
+    cluster_of[alive_idx] = ids
+
+    _jit_cache = {}
+
+    def render_mask(cam_key, cam, member):
+        """Predicted object mask: deformed render at the view's fid with
+        per-gaussian selection, binarized alpha (reference
+        render.py:334-366 pred_masks)."""
+        fn = _jit_cache.get(cam_key)
+        if fn is None:
+            rc = cam.to_render_camera()
+            fid = jnp.float32(cam.fid)
+
+            def _alpha(m):
+                d = T._apply_deform(
+                    trainer.deform_net, deform_vars, params.xyz, fid,
+                    0.0, True, stop_grad_deform=True,
+                    gaussian_features=params.gaussian_features)
+                return render(rc, params, alive, jnp.zeros(3), *d,
+                              is_6dof=dataset.is_6dof,
+                              sh_degree=trainer.active_sh_degree,
+                              with_features=False, mask=m,
+                              raster_cfg=raster_cfg)["alpha"]
+
+            fn = jax.jit(_alpha)
+            _jit_cache[cam_key] = fn
+        return np.asarray(fn(jnp.asarray(member)))[0] > 0.5
+
+    test_cams = scene.get_test_cameras()
+    # match clusters to blobs on the FIRST test view by intersection-
+    # over-area against each blob's GT mask (reference postprocessing
+    # analog: render.py:97-104 select_obj_ioa)
+    cam0 = test_cams[0]
+    gt_masks0 = decode_mask_file(cam0.mask_path) > 0  # (B, H, W)
+    n_blobs = gt_masks0.shape[0]
+    owners = [[] for _ in range(n_blobs)]
+    for c in range(n_clusters):
+        member = cluster_of == c
+        if member.sum() == 0:
+            continue
+        m = render_mask(0, cam0, member)
+        area = m.sum()
+        if area < 16:
+            continue
+        ioa = [(m & gt_masks0[b]).sum() / area for b in range(n_blobs)]
+        b = int(np.argmax(ioa))
+        if ioa[b] > 0.5:
+            owners[b].append(c)
+
+    ious = []
+    for vi, cam in enumerate(test_cams):
+        gt_masks = decode_mask_file(cam.mask_path) > 0
+        for b in range(n_blobs):
+            if not owners[b]:
+                ious.append(0.0)
+                continue
+            member = np.isin(cluster_of, owners[b])
+            pred = render_mask(vi, cam, member)
+            inter = (pred & gt_masks[b]).sum()
+            union = (pred | gt_masks[b]).sum()
+            ious.append(float(inter) / max(float(union), 1.0))
+    miou = float(np.mean(ious)) if ious else 0.0
+
+    result = {
+        "metric": "scale_validation",
+        "image_size": args.image_size,
+        "iterations": args.iterations,
+        "n_alive": n_alive,
+        "psnr_test": round(test_psnr, 3),
+        "miou": round(miou, 4),
+        "n_clusters": n_clusters,
+        "train_s": round(t_train, 1),
+        "iters_per_s": round(args.iterations / t_train, 2),
+        "data_gen_s": round(t_data, 1),
+        "alive_track": alive_track[-5:],
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

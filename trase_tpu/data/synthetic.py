@@ -72,8 +72,16 @@ def deform_blobs(scene: dict, t: float) -> np.ndarray:
 
 
 def render_gt(scene: dict, t: float, R, T, fovx, fovy, h, w,
-              bg=(0.0, 0.0, 0.0)):
-    """Render the GT blob cloud with the slow jnp compositor (CPU ok)."""
+              bg=(0.0, 0.0, 0.0), fast: bool = False):
+    """Render the GT blob cloud.
+
+    fast=False (default): the slow O(N*P) oracle compositor — exact,
+    fine for the tiny test fixtures. fast=True: the production tiled
+    compositor — required for 1K-resolution / 10k-gaussian GT
+    generation (the oracle materializes an (N, P) matrix there), used
+    by tools/validate_scale.py. Both share the same compositing
+    semantics (tests/test_rasterize.py pins them against each other).
+    """
     import jax.numpy as jnp
 
     from ..ops.projection import compute_cov3d, project_gaussians
@@ -91,11 +99,20 @@ def render_gt(scene: dict, t: float, R, T, fovx, fovy, h, w,
         xyz, cov3d, opac, cam.buffers, h, w,
         colors_precomp=jnp.asarray(scene["rgb"]),
     )
-    out = rasterize_reference(proj, None, jnp.asarray(bg, jnp.float32), h, w)
     blob_onehot = jnp.asarray(
         np.eye(scene["centers"].shape[0], dtype=np.float32)[scene["blob_id"]]
     )
-    cov = rasterize_reference(proj, blob_onehot, jnp.asarray(bg), h, w)
+    if fast:
+        from ..ops.rasterize import RasterConfig, rasterize_tiled
+
+        cfg = RasterConfig()
+        out = rasterize_tiled(proj, None, jnp.asarray(bg, jnp.float32),
+                              h, w, cfg)
+        cov = rasterize_tiled(proj, blob_onehot, jnp.asarray(bg), h, w, cfg)
+    else:
+        out = rasterize_reference(proj, None, jnp.asarray(bg, jnp.float32),
+                                  h, w)
+        cov = rasterize_reference(proj, blob_onehot, jnp.asarray(bg), h, w)
     masks = np.asarray(cov["feats"]) > 0.3  # (B, H, W)
     return np.asarray(out["render"]), masks
 
@@ -109,8 +126,13 @@ def write_synthetic_dataset(
     pts_per_blob: int = 48,
     radius: float = 3.0,
     seed: int = 0,
+    fast_gt: bool = False,
 ):
-    """Write a complete Blender-format dataset dir; returns the scene."""
+    """Write a complete Blender-format dataset dir; returns the scene.
+
+    fast_gt: render GT with the production tiled compositor instead of
+    the O(N*P) oracle — required at 1K-class resolutions (see
+    tools/validate_scale.py)."""
     from PIL import Image
 
     from .masks import save_mask_file
@@ -131,7 +153,8 @@ def write_synthetic_dataset(
             eye = radius * np.array(
                 [np.sin(theta), 0.3, np.cos(theta)], np.float64)
             R_w2c, T = _look_at(eye, np.zeros(3))
-            img, masks = render_gt(scene, t, R_w2c, T, fov, fov, h, w)
+            img, masks = render_gt(scene, t, R_w2c, T, fov, fov, h, w,
+                                   fast=fast_gt)
             # basename must end in 4 digits (the reader parses a frame
             # index from the last 4 chars for end_frame truncation)
             name = f"{split}_{i:04d}"

@@ -61,6 +61,10 @@ def main(argv=None):
                     help="frame output dir (default <model>/viewer)")
     ap.add_argument("--script", default=None,
                     help="file of commands to run instead of stdin")
+    ap.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="serve the browser GUI on this port instead of "
+                         "the REPL (see trase_tpu/viewer_web.py)")
+    ap.add_argument("--host", default="127.0.0.1")
     args = ap.parse_args(argv)
 
     v = HeadlessViewer.from_model_path(
@@ -68,6 +72,12 @@ def main(argv=None):
         model_type=args.model_type, is_blender=args.is_blender,
         is_6dof=args.is_6dof, sh_degree=args.sh_degree, W=args.W, H=args.H,
         radius=args.radius, white_background=args.white_background)
+
+    if args.serve is not None:
+        from trase_tpu.viewer_web import ViewerServer
+
+        ViewerServer(v).serve(port=args.serve, host=args.host)
+        return
     out_dir = args.out or os.path.join(args.model_path, "viewer")
     os.makedirs(out_dir, exist_ok=True)
     frame_idx = 0
