@@ -48,6 +48,12 @@ def main(argv=None):
                         choices=[None, "pallas", "dense"],
                         help="sharded compositor backend "
                              "(default: pallas on TPU, dense elsewhere)")
+    parser.add_argument("--profile_iters", nargs=2, type=int,
+                        default=None, metavar=("START", "STOP"),
+                        help="capture a jax.profiler device trace over "
+                             "this iteration range into "
+                             "<model_path>/trace (open with "
+                             "tensorboard/perfetto)")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
     args.save_iterations.append(args.iterations)
 
@@ -92,11 +98,29 @@ def main(argv=None):
     if args.start_checkpoint:
         first_iter = trainer.load_ckpt(args.start_checkpoint)
 
+    on_iteration = None
+    if args.profile_iters:
+        import jax
+
+        p_start, p_stop = args.profile_iters
+        trace_dir = os.path.join(dataset.model_path, "trace")
+
+        def on_iteration(tr, iteration, metrics):
+            # the reference's analog is per-iter CUDA-event timing
+            # (train.py:140-141); this captures a full device trace
+            if iteration == p_start:
+                jax.profiler.start_trace(trace_dir)
+                print(f"[profile] tracing -> {trace_dir}")
+            elif iteration == p_stop:
+                jax.profiler.stop_trace()
+                print("[profile] trace stopped")
+
     trainer.train(
         first_iter=first_iter,
         testing_iterations=set(args.test_iterations),
         saving_iterations=set(args.save_iterations),
         checkpoint_iterations=set(args.checkpoint_iterations),
+        on_iteration=on_iteration,
     )
     print("\nTraining complete.")
 
