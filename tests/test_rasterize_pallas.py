@@ -274,6 +274,78 @@ class TestPallasGradients:
         assert np.abs(np.asarray(g)).sum() > 0
 
 
+class TestPackedFeatures:
+    """cfg.pack_features parity: the bf16-paired feature payload must
+    leave geometry-derived outputs (rgb/alpha/depth) and ALL gradients
+    essentially unchanged — only the composited feature image rounds
+    to bf16 value precision."""
+
+    PACKED = CFG._replace(pack_features=True)
+
+    def _setup(self, n=120, H=48, W=64, seed=5):
+        cam = make_camera(H, W)
+        means, scales, quats, colors, opac, feats = random_scene(n, seed)
+        proj = project(means, scales, quats, colors, opac, cam, H, W)
+        feats = np.asarray(feats)
+        feats = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+        return proj, jnp.asarray(feats), H, W
+
+    def test_forward_parity(self):
+        proj, feats, H, W = self._setup()
+        bg = jnp.asarray([0.1, 0.2, 0.3])
+        ref = pallas_raster(proj, feats, bg, H, W)
+        pk = pallas_raster(proj, feats, bg, H, W, cfg=self.PACKED)
+        # identical compositing weights -> geometry outputs match to
+        # fp-reassociation noise; feats round to bf16 (~2^-8 rel)
+        for k, tol in [("render", 1e-6), ("alpha", 1e-6),
+                       ("depth", 1e-6)]:
+            np.testing.assert_allclose(np.asarray(pk[k]),
+                                       np.asarray(ref[k]), atol=tol,
+                                       err_msg=k)
+        np.testing.assert_allclose(np.asarray(pk["feats"]),
+                                   np.asarray(ref["feats"]),
+                                   atol=6e-3, err_msg="feats")
+
+    def test_grad_parity(self):
+        proj, feats, H, W = self._setup(n=90, seed=9)
+        bg = jnp.zeros(3)
+        rng = np.random.default_rng(1)
+        wf = jnp.asarray(rng.normal(size=(feats.shape[1], H, W)),
+                         jnp.float32)
+        wr = jnp.asarray(rng.normal(size=(3, H, W)), jnp.float32)
+
+        def loss_fn(cfg):
+            def f(mean2d, opa, extra):
+                p = proj._replace(mean2d=mean2d, opacity=opa)
+                out = RP.rasterize_tiled_pallas(p, extra, bg, H, W,
+                                                cfg, interpret=True)
+                return (jnp.sum(out["feats"] * wf)
+                        + jnp.sum(out["render"] * wr))
+            return f
+
+        args = (proj.mean2d, proj.opacity, feats)
+        gu = jax.grad(loss_fn(CFG), argnums=(0, 1, 2))(*args)
+        gp = jax.grad(loss_fn(self.PACKED), argnums=(0, 1, 2))(*args)
+        # feature-row grads use only the (identical) compositing
+        # weights -> near-exact; geometry grads see the bf16-rounded
+        # values through q = g.vals -> bf16-relative tolerance
+        for nm, a, b, tol in [("extra", gu[2], gp[2], 1e-6),
+                              ("mean2d", gu[0], gp[0], 8e-3),
+                              ("opacity", gu[1], gp[1], 8e-3)]:
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-8
+            assert np.abs(a - b).max() / scale < tol, nm
+
+    def test_odd_channels_fall_back_unpacked(self):
+        proj, feats, H, W = self._setup(n=40, seed=3)
+        bg = jnp.zeros(3)
+        odd = feats[:, :5]
+        ref = pallas_raster(proj, odd, bg, H, W)
+        pk = pallas_raster(proj, odd, bg, H, W, cfg=self.PACKED)
+        np.testing.assert_allclose(np.asarray(pk["feats"]),
+                                   np.asarray(ref["feats"]), atol=1e-6)
+
+
 class TestPairBudgetQuality:
     """Quantify the fixed-K pair-budget truncation cost on an
     ADVERSARIAL scene (heavy-tailed splat sizes, the trained-scene

@@ -63,6 +63,13 @@ class RasterConfig(NamedTuple):
     # groups (their output blocks are image patches); kept so saved
     # configs stay loadable.
     tile_group: int = 16
+    # Pack the extra (feature) channels bf16-paired inside the Pallas
+    # payload stream: the FEATURE phase's 48-row payload becomes 32
+    # rows, cutting the pair gather + kernel span-DMA traffic by a
+    # third at bf16 feature precision (geometry/rgb/depth stay f32,
+    # and so do all gradients). Pallas backend only; ignored when the
+    # channel count is odd.
+    pack_features: bool = False
 
 
 def _tile_grid(image_height: int, image_width: int):

@@ -381,6 +381,61 @@ def _dot(a, b):
                                preferred_element_type=jnp.float32)
 
 
+def _vals_ext_rows(block_t, n_val, n_packed):
+    """(1 + n_val, chunk) value matrix [ONE, rgb, feats, depth] from a
+    payload window, unpacking bf16-paired feature rows when the packed
+    layout is active (n_packed > 0).
+
+    Packed window layout: [geom 8, rgb 3, depth 1, packed n_packed]
+    where packed row r carries feats[r] in its low 16 bits and
+    feats[r + n_packed] in its high 16 bits (a bf16 pattern u16 becomes
+    the f32 bit pattern u16 << 16). Unpack is two cheap VPU bit ops per
+    packed row; the returned rows are in the UNPACKED payload's value
+    order so the backward's gradient rows need no remapping.
+    """
+    if n_packed == 0:
+        return jnp.concatenate(
+            [block_t[6:7, :],
+             block_t[GEOM_COLS:GEOM_COLS + n_val, :]], axis=0)
+    rgb = block_t[GEOM_COLS:GEOM_COLS + 3, :]
+    depth = block_t[GEOM_COLS + 3:GEOM_COLS + 4, :]
+    pk = block_t[GEOM_COLS + 4:GEOM_COLS + 4 + n_packed, :]
+    u = jax.lax.bitcast_convert_type(pk, jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(
+        u & jnp.uint32(0xFFFF0000), jnp.float32)
+    return jnp.concatenate([block_t[6:7, :], rgb, lo, hi, depth],
+                           axis=0)
+
+
+def pack_feature_rows(payload, n_val, n_packed):
+    """(N+1, f_pad) payload -> bf16-feature-packed table
+    [geom 8, rgb 3, depth 1, packed n_packed, pad].
+
+    Halves the HBM traffic of the pair gather and the kernels' span
+    DMAs for the 2*n_packed feature rows (the FEATURE phase's 48-row
+    payload becomes 32 rows) at bf16 value precision; geometry, rgb
+    and depth stay f32. Uses bitcasts, so it is NOT differentiable —
+    it runs only inside pallas_composite's custom-vjp forward, and the
+    backward emits gradients in the unpacked row layout directly.
+    """
+    n_feat = 2 * n_packed
+    geom = payload[:, :GEOM_COLS]
+    rgb = payload[:, GEOM_COLS:GEOM_COLS + 3]
+    feats = payload[:, GEOM_COLS + 3:GEOM_COLS + 3 + n_feat]
+    depth = payload[:, GEOM_COLS + 3 + n_feat:GEOM_COLS + n_val]
+    u16 = jax.lax.bitcast_convert_type(
+        feats.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    packed = jax.lax.bitcast_convert_type(
+        u16[:, :n_packed] | (u16[:, n_packed:] << 16), jnp.float32)
+    f = GEOM_COLS + 4 + n_packed
+    f_pad = -(-f // 8) * 8
+    return jnp.concatenate(
+        [geom, rgb, depth, packed,
+         jnp.zeros((payload.shape[0], f_pad - f), payload.dtype)],
+        axis=1)
+
+
 def _splat_raw(block_t, t, tw):
     """Direct VPU evaluation of power + log_op in tile-local coords.
 
@@ -502,7 +557,8 @@ def _span_walk(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
 
 def _fwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
                       payload_hbm, *rest, n_val: int, tw: int,
-                      gxn: int, num_tiles: int, with_residuals: bool):
+                      gxn: int, num_tiles: int, with_residuals: bool,
+                      n_packed: int = 0):
     """One grid step = one group (a 16-tile row segment).
 
     Reads the pair-ordered payload through the span walker — no
@@ -560,9 +616,7 @@ def _fwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
                 live, jnp.exp(alpha_log + cum_excl + logt[...]), 0.0)
             # value rows prefixed by the constant ONE row: one
             # matmul yields [alpha-total, channels...] per pixel.
-            vals_ext = jnp.concatenate(
-                [block_t[6:7, :],
-                 block_t[GEOM_COLS:GEOM_COLS + n_val, :]], axis=0)
+            vals_ext = _vals_ext_rows(block_t, n_val, n_packed)
             contrib = jax.lax.dot_general(
                 wgt, vals_ext, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -687,7 +741,8 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
                       stop_ref, payload_hbm, g_ref, logt_ref, zeros_ref,
                       dpay_hbm, pbuf, psem, obuf, osem, tbuf, tsem,
                       logtc, rcarry, state, *, n_val: int, tw: int,
-                      gxn: int, num_tiles: int, f_pad: int):
+                      gxn: int, num_tiles: int, f_pad: int,
+                      n_packed: int = 0):
     """Backward over one tile group: ONE reverse superblocked pass.
 
     Walks the group's windows last-to-first. On first (reverse) visit
@@ -766,9 +821,7 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
             incl_lin = jnp.exp(t_start_log + cum)  # T after i
             keep = (incl_lin >= T_EPS).astype(jnp.float32)
             wgt = jnp.where(ok, alpha * excl_lin, 0.0) * keep
-            vals_ext = jnp.concatenate(
-                [block_t[6:7, :],
-                 block_t[GEOM_COLS:GEOM_COLS + n_val, :]], axis=0)
+            vals_ext = _vals_ext_rows(block_t, n_val, n_packed)
             g_ext = g_ref[0, :, tx, :, :].reshape(PIX, 1 + n_val)
             q = _dot(g_ext, vals_ext)  # (PIX, chunk)
             qw = q * wgt
@@ -832,7 +885,7 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
 
 def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
                   interpret, g_lo=None, rows_local=None,
-                  with_residuals=True):
+                  with_residuals=True, n_packed=0):
     """Composite forward. With g_lo/rows_local set, renders only the
     tile-row slab whose groups are [g_lo, g_lo + rows_local*gxn) — the
     per-device slice of the sharded renderer (g_lo may be traced).
@@ -896,7 +949,8 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
     )
     kernel = functools.partial(_fwd_group_kernel, n_val=n_val, tw=tw,
                                gxn=gxn, num_tiles=num_tiles,
-                               with_residuals=with_residuals)
+                               with_residuals=with_residuals,
+                               n_packed=n_packed)
     out = pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -911,7 +965,8 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
 
 
 def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
-                   n_val, interpret, g_lo=None, rows_local=None):
+                   n_val, interpret, g_lo=None, rows_local=None,
+                   n_packed=0):
     """Gradient kernel: (slot_cap, f_pad) ROW-MAJOR per-slot gradients.
 
     logt_stop / stop are the forward's per-tile residuals (local to
@@ -919,7 +974,10 @@ def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
     slab's groups — untouched slots stay zero (the output buffer is
     pre-zeroed via input_output_aliases), so slab partials sum across
     devices."""
-    f_pad = ps_t.shape[0]
+    f_in = ps_t.shape[0]  # payload rows (packed when n_packed > 0)
+    # gradient rows are always the UNPACKED value layout — bf16 value
+    # packing affects only the payload stream, never the cotangent
+    f_pad = -(-(GEOM_COLS + n_val) // 8) * 8
     th = num_tiles // tw
     gxn = -(-tw // TILE)
     if rows_local is None:
@@ -955,11 +1013,11 @@ def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, f_pad, SPAN), jnp.float32),  # pbuf
+            pltpu.VMEM((2, f_in, SPAN), jnp.float32),  # pbuf
             pltpu.SemaphoreType.DMA((2,)),  # psem
             pltpu.VMEM((2, f_pad, PAIR_CHUNK), jnp.float32),  # obuf
             pltpu.SemaphoreType.DMA((2,)),  # osem
-            pltpu.VMEM((f_pad, 2 * PAIR_CHUNK), jnp.float32),  # tail
+            pltpu.VMEM((f_in, 2 * PAIR_CHUNK), jnp.float32),  # tail
             pltpu.SemaphoreType.DMA(()),  # tail sem
             pltpu.VMEM((PIX, 1), jnp.float32),  # logtc
             pltpu.VMEM((PIX, 1), jnp.float32),  # rcarry
@@ -968,7 +1026,7 @@ def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
     )
     kernel = functools.partial(_bwd_group_kernel, n_val=n_val, tw=tw,
                                gxn=gxn, num_tiles=num_tiles,
-                               f_pad=f_pad)
+                               f_pad=f_pad, n_packed=n_packed)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((s_cap * f_pad, PAIR_CHUNK),
@@ -1065,40 +1123,52 @@ def pallas_composite(static_cfg, payload, sorted_pid, slot_of_sorted,
     partial per-gaussian gradients that sum exactly across devices
     (the transpose of the projection all-gather does the psum).
     """
-    num_tiles, tw, n_val, interpret, rows_local = _pc_cfg(static_cfg)
+    num_tiles, tw, n_val, interpret, rows_local, n_packed = _pc_cfg(
+        static_cfg)
+    if n_packed:
+        payload = pack_feature_rows(payload, n_val, n_packed)
     ps_t = _gather_pairs(payload, sorted_pid)
     out, _, _ = _forward_impl(ps_t, layout, num_tiles=num_tiles, tw=tw,
                               n_val=n_val, interpret=interpret,
                               g_lo=g_lo, rows_local=rows_local,
-                              with_residuals=False)
+                              with_residuals=False, n_packed=n_packed)
     return out
 
 
 def _pc_cfg(static_cfg):
+    # (num_tiles, tw, n_val, interpret[, rows_local[, n_packed]])
     if len(static_cfg) == 4:
-        return (*static_cfg, None)
+        return (*static_cfg, None, 0)
+    if len(static_cfg) == 5:
+        return (*static_cfg, 0)
     return static_cfg
 
 
 def _pc_fwd(static_cfg, payload, sorted_pid, slot_of_sorted, layout,
             g_lo=None):
-    num_tiles, tw, n_val, interpret, rows_local = _pc_cfg(static_cfg)
+    num_tiles, tw, n_val, interpret, rows_local, n_packed = _pc_cfg(
+        static_cfg)
+    n_rows = payload.shape[0]
+    if n_packed:
+        payload = pack_feature_rows(payload, n_val, n_packed)
     ps_t = _gather_pairs(payload, sorted_pid)
     out, logt_stop, stop = _forward_impl(
         ps_t, layout, num_tiles=num_tiles, tw=tw, n_val=n_val,
-        interpret=interpret, g_lo=g_lo, rows_local=rows_local)
+        interpret=interpret, g_lo=g_lo, rows_local=rows_local,
+        n_packed=n_packed)
     return out, (ps_t, sorted_pid, slot_of_sorted, layout,
-                 payload.shape[0], logt_stop, stop, g_lo)
+                 n_rows, logt_stop, stop, g_lo)
 
 
 def _pc_bwd(static_cfg, res, g):
-    num_tiles, tw, n_val, interpret, rows_local = _pc_cfg(static_cfg)
+    num_tiles, tw, n_val, interpret, rows_local, n_packed = _pc_cfg(
+        static_cfg)
     (ps_t, sorted_pid, slot_of_sorted, layout, n_rows, logt_stop, stop,
      g_lo) = res
     dpay = _backward_impl(ps_t, layout, g, logt_stop, stop,
                           num_tiles=num_tiles, tw=tw, n_val=n_val,
                           interpret=interpret, g_lo=g_lo,
-                          rows_local=rows_local)
+                          rows_local=rows_local, n_packed=n_packed)
     dpayload = unsort_slot_gradients(dpay, sorted_pid, slot_of_sorted,
                                      n_rows)
     return dpayload, None, None, None, None
@@ -1187,9 +1257,13 @@ def rasterize_tiled_pallas(
 
     payload, n_val = build_payload(proj, extra_channels)
 
+    n_packed = 0
+    if (cfg.pack_features and extra_channels is not None
+            and extra_channels.shape[1] % 2 == 0):
+        n_packed = extra_channels.shape[1] // 2
     out = pallas_composite(
-        (num_tiles, tw, n_val, interpret), payload, sorted_pid,
-        slot_of_sorted, layout
+        (num_tiles, tw, n_val, interpret, None, n_packed), payload,
+        sorted_pid, slot_of_sorted, layout
     )  # (th, 16, gxn*16, 16, 1 + n_val) — image patches
     gxt = out.shape[2] * TILE
     hwc = out.reshape(th * TILE, gxt, n_val + 1)[
