@@ -140,13 +140,19 @@ def main():
     feats = jnp.asarray(feats / np.linalg.norm(feats, axis=1,
                                                keepdims=True))
 
-    for phase, extra in (("g", None), ("f", feats)):
+    # g = rgb+depth payload, f = +32ch features, fp = features packed
+    # bf16-paired (RasterConfig.pack_features)
+    for phase, extra, n_packed in (("g", None, 0), ("f", feats, 0),
+                                   ("fp", feats, 16)):
         payload, n_val = RP.build_payload(proj, extra)
 
         # --- stage: payload table build + pair gather ---
         @jax.jit
-        def f_gather(proj, sorted_pid, extra=extra):
+        def f_gather(proj, sorted_pid, extra=extra, n_val=n_val,
+                     n_packed=n_packed):
             payload, _ = RP.build_payload(proj, extra)
+            if n_packed:
+                payload = RP.pack_feature_rows(payload, n_val, n_packed)
             return RP._gather_pairs(payload, sorted_pid)
 
         ps_t = f_gather(proj, sorted_pid)
@@ -154,7 +160,8 @@ def main():
             f_gather, proj, sorted_pid, iters=it)
 
         fwd = functools.partial(RP._forward_impl, num_tiles=num_tiles,
-                                tw=tw, n_val=n_val, interpret=interp)
+                                tw=tw, n_val=n_val, interpret=interp,
+                                n_packed=n_packed)
 
         # --- stage: forward kernel, inference (no residuals) ---
         f_fwd = jax.jit(lambda ps, lay: fwd(ps, lay,
@@ -176,7 +183,8 @@ def main():
         def f_bwd(ps, lay, g, lts, stp):
             return RP._backward_impl(ps, lay, g, lts, stp,
                                      num_tiles=num_tiles, tw=tw,
-                                     n_val=n_val, interpret=interp)
+                                     n_val=n_val, interpret=interp,
+                                     n_packed=n_packed)
 
         dpay = f_bwd(ps_t, layout, g, logt_stop, stop)
         t_ms[f"bwd_kernel_{phase}"] = timed(
