@@ -145,6 +145,60 @@ def test_sharded_train_step_runs(small_scene):
     assert float(m2["loss"]) <= float(metrics["loss"]) * 1.5
 
 
+def test_sharded_feature_step_packed_matches_unpacked(small_scene):
+    """pack_features through the sharded pallas backend: the bf16-paired
+    feature payload must leave the loss at fp-noise parity with the
+    unpacked payload; the Adam feature update may differ by O(lr) where
+    near-zero gradients round across bf16 (same budget as the
+    single-device packed tests' 6e-3 feats tolerance)."""
+    from trase_tpu.engine import trainer as T
+    from trase_tpu.models.deform import init_deform, make_deform_network
+    from trase_tpu.ops.rasterize import RasterConfig
+    from trase_tpu.parallel import make_mesh, make_sharded_feature_step
+    from trase_tpu.parallel.sharded import shard_train_state
+    from trase_tpu.renderer import make_render_camera
+
+    params, aux = small_scene
+    mesh = make_mesh(8)
+    H = W = 48
+    hm = wm = 24
+
+    net = make_deform_network("DeformNetwork")
+    dvars = init_deform(jax.random.PRNGKey(0), net)
+    state = T.init_train_state(params, aux, dvars)
+    sharded = shard_train_state(mesh, state)
+
+    cam = make_render_camera(np.eye(3), np.zeros(3), 0.8, 0.8, H, W)
+    rng = np.random.default_rng(5)
+    masks = jnp.asarray((rng.random((4, hm, wm)) > 0.6).astype(np.float32))
+    mask_valid = jnp.ones((4,), bool)
+    lrs = T.LearningRates(*[jnp.float32(1e-3)] * 8)
+    key = jax.random.PRNGKey(7)
+    common = dict(contrastive_mode="soft", rfn=1.0, positive_th=0.75,
+                  negative_th=0.5, num_sampled_pixels=64,
+                  num_sampled_masks=4)
+    smooth_map = jnp.zeros((params.xyz.shape[0], 1), jnp.int32)
+
+    outs = {}
+    for packed in (False, True):
+        cfg = RasterConfig(pairs_per_gaussian=4, pack_features=packed)
+        builder = make_sharded_feature_step(
+            mesh, net, H, W, sh_degree=1, use_deform=True,
+            mask_hw=(hm, wm), raster_cfg=cfg, backend="pallas", **common)
+        step = builder(sharded)
+        st2, m = step(sharded, cam.buffers, masks, mask_valid,
+                      jnp.float32(0.5), key, lrs, jnp.zeros(3),
+                      smooth_map)
+        assert bool(m["finite"])
+        outs[packed] = (float(m["loss"]),
+                        np.asarray(st2.params.gaussian_features))
+
+    l0, f0 = outs[False]
+    l1, f1 = outs[True]
+    np.testing.assert_allclose(l1, l0, rtol=2e-4)
+    assert np.abs(f0 - f1).max() < 6e-3
+
+
 def test_sharded_feature_step_matches_single(small_scene):
     """8-device FEATURE step parity with the single-device step
     (VERDICT r1 item 7): same sample, same losses, same feature update."""

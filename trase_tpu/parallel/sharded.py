@@ -210,12 +210,16 @@ def _composite_my_rows_pallas(proj, extra, bg_color, H, W,
     sorted_pid, slot_of_sorted, layout, overflow = RP.build_window_layout(
         proj, h_pad, W, cfg)
     payload, n_val = RP.build_payload(proj, extra)
+    n_packed = 0
+    if (cfg.pack_features and extra is not None
+            and extra.shape[1] % 2 == 0):
+        n_packed = extra.shape[1] // 2
     rows_local = rows_pad // n_shards
     my = jax.lax.axis_index(AXIS)
     g_lo = my * rows_local * gxn
     interp = not jax.default_backend().startswith("tpu")
     slab = RP.pallas_composite(
-        (rows_pad * tw, tw, n_val, interp, rows_local),
+        (rows_pad * tw, tw, n_val, interp, rows_local, n_packed),
         payload, sorted_pid, slot_of_sorted, layout, g_lo)
     full = jax.lax.all_gather(slab, AXIS, axis=0, tiled=True)
     gxt = full.shape[2] * RP.TILE
