@@ -103,25 +103,41 @@ def main(argv=None):
         import jax
 
         p_start, p_stop = args.profile_iters
+        if p_stop <= p_start:
+            parser.error("--profile_iters STOP must be > START")
         trace_dir = os.path.join(dataset.model_path, "trace")
+        tracing = {"on": False}
 
         def on_iteration(tr, iteration, metrics):
             # the reference's analog is per-iter CUDA-event timing
-            # (train.py:140-141); this captures a full device trace
-            if iteration == p_start:
+            # (train.py:140-141); this captures a full device trace.
+            # >= comparisons + the `tracing` flag keep the window
+            # bounded even if an iteration number is skipped.
+            if not tracing["on"] and p_start <= iteration < p_stop:
                 jax.profiler.start_trace(trace_dir)
+                tracing["on"] = True
                 print(f"[profile] tracing -> {trace_dir}")
-            elif iteration == p_stop:
+            elif tracing["on"] and iteration >= p_stop:
                 jax.profiler.stop_trace()
+                tracing["on"] = False
                 print("[profile] trace stopped")
+    else:
+        tracing = {"on": False}
 
-    trainer.train(
-        first_iter=first_iter,
-        testing_iterations=set(args.test_iterations),
-        saving_iterations=set(args.save_iterations),
-        checkpoint_iterations=set(args.checkpoint_iterations),
-        on_iteration=on_iteration,
-    )
+    try:
+        trainer.train(
+            first_iter=first_iter,
+            testing_iterations=set(args.test_iterations),
+            saving_iterations=set(args.save_iterations),
+            checkpoint_iterations=set(args.checkpoint_iterations),
+            on_iteration=on_iteration,
+        )
+    finally:
+        if tracing["on"]:
+            import jax
+
+            jax.profiler.stop_trace()
+            print("[profile] trace stopped at exit")
     print("\nTraining complete.")
 
 

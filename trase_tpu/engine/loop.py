@@ -379,6 +379,9 @@ class Trainer:
             finite = bool(metrics["finite"])
             if not finite:
                 print("NaN loss detected!!!")
+            else:
+                self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+                self.opt_state.step()
             if "overflow" in metrics and iteration % 100 == 0:
                 # pair-budget truncation guard: the reference rasterizer
                 # has unbounded per-gaussian tile coverage; ours trades a
@@ -398,9 +401,6 @@ class Trainer:
                           f"({frac:.1%} of budget) — raise "
                           f"--pairs_per_gaussian (K="
                           f"{self.raster_cfg.pairs_per_gaussian})")
-            else:
-                self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
-                self.opt_state.step()
             if "pos_sim" in metrics:
                 self.ema_pos = 0.4 * float(metrics["pos_sim"]) + \
                     0.6 * self.ema_pos
@@ -538,7 +538,8 @@ class Trainer:
             else:
                 d = T._apply_deform(
                     self.deform_net, deform_vars, params.xyz, fid, 0.0,
-                    True, stop_grad_deform=True)
+                    True, stop_grad_deform=True,
+                    gaussian_features=params.gaussian_features)
             return render(rc, params, alive, self.bg_color, *d,
                           is_6dof=self.args.is_6dof,
                           sh_degree=self.active_sh_degree,

@@ -33,20 +33,6 @@ def _gauss_1d(window_size: int, sigma: float):
     return (g / g.sum()).astype(np.float32)
 
 
-@functools.lru_cache(maxsize=32)
-def _band_np(n: int, window_size: int, sigma: float):
-    """(n, n) banded matrix B with B[i, j] = g[j - i + S//2]."""
-    import numpy as np
-
-    g = _gauss_1d(window_size, sigma)
-    half = window_size // 2
-    B = np.zeros((n, n), np.float32)
-    for k in range(-half, half + 1):
-        idx = np.arange(max(0, -k), min(n, n - k))
-        B[idx, idx + k] = g[k + half]
-    return B
-
-
 def _depthwise_conv(img: jnp.ndarray, window_size: int = 11,
                     sigma: float = 1.5) -> jnp.ndarray:
     """img: (C,H,W) -> (C,H,W), separable gaussian as shifted adds.

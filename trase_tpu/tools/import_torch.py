@@ -156,6 +156,15 @@ def _adam_state_for(opt_sd: dict | None, group_name: str, param,
             nu = to_np(st["exp_avg_sq"])
             if mu.shape[0] != n_expected:
                 break
+            # our layout may differ from torch's (gaussian_features is
+            # (n,32) here vs the reference's (n,1,32) param) — momenta
+            # must match the param shape exactly or adam_update
+            # broadcasts (n,1,32)x(n,32) into (n,n,32)
+            shape = np.asarray(param).shape
+            if mu.size != int(np.prod(shape)):
+                break
+            mu = mu.reshape(shape)
+            nu = nu.reshape(shape)
             step = st.get("step", 0)
             step = int(step.item() if hasattr(step, "item") else step)
             return AdamState(mu=jnp.asarray(mu), nu=jnp.asarray(nu),
