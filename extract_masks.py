@@ -116,10 +116,15 @@ def convert_from_pt(args, out_dir):
 def _save(masks: np.ndarray, out_dir: str, stem: str, args):
     from trase_tpu.data.masks import save_mask_file
 
-    if args.save_pt:
+    if args.save_pt or args.save_to_tensor:
         import torch
 
         n, h, w = masks.shape
+        if args.save_to_tensor:
+            # reference extract_masks.py:87-89: raw bool (N,H,W) tensor
+            payload = torch.from_numpy(masks.astype(bool))
+            torch.save(payload, os.path.join(out_dir, stem + ".pt"))
+            return
         try:
             from bitarray import bitarray
 
@@ -147,6 +152,11 @@ def main(argv=None):
     p.add_argument("--downsample_mask", type=int, default=1)
     p.add_argument("--save_pt", action="store_true",
                    help="write reference-format .pt instead of .npz")
+    p.add_argument("--save_to_tensor", action="store_true",
+                   default=False,
+                   help="raw bool tensor .pt (reference "
+                        "extract_masks.py:43,87-89) instead of the "
+                        "bitarray dict")
     p.add_argument("--from_dir", type=str, default=None,
                    help="convert existing PNG masks instead of running SAM")
     p.add_argument("--from_pt", type=str, default=None,

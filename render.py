@@ -110,9 +110,11 @@ def render_sets(args):
         for s in streams:
             os.makedirs(os.path.join(base, s), exist_ok=True)
         videos = {s: [] for s in streams}
-        writer = AsyncImageWriter()
-        save_image = writer.submit  # multithreaded PNG writes
-        # (reference multithread_write, render.py:61-81)
+        # reference --multithread_save / multithread_write
+        # (render.py:61-81,539); serial PIL saves otherwise
+        writer = AsyncImageWriter(
+            multithread=getattr(args, "multithread_save", True))
+        save_image = writer.submit
 
         # save the raw 3D features for downstream tools
         np.save(os.path.join(base, "rendered_feats",
@@ -387,6 +389,8 @@ def main(argv=None):
     parser.add_argument("--threshold", type=int, default=500)
     parser.add_argument("--score_threshold", type=float, default=0.0)
     parser.add_argument("--use_kmeans", action="store_true")
+    parser.add_argument("--multithread_save", action="store_true",
+                        default=False)
     parser.add_argument("--max_per_tile", type=int, default=1024)
     parser.add_argument("--pairs_per_gaussian", type=int, default=8)
     args = get_combined_args(parser, argv)

@@ -102,6 +102,33 @@ def test_extract_masks_from_pt_conversion(tmp_path):
     np.testing.assert_array_equal(dec, masks)
 
 
+def test_extract_masks_save_to_tensor(tmp_path):
+    """--save_to_tensor writes the reference's raw bool tensor .pt
+    (extract_masks.py:43,87-89) and decode_mask_file reads it back."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import extract_masks
+
+    rng = np.random.default_rng(5)
+    masks = rng.random((3, 6, 9)) > 0.5
+    src = tmp_path / "pt_masks"
+    src.mkdir()
+    torch.save(torch.from_numpy(masks), str(src / "a.pt"))
+    out = tmp_path / "scene"
+    extract_masks.main(["--from_pt", str(src), "--output", str(out),
+                        "--save_to_tensor"])
+    obj = torch.load(str(out / "masks" / "a.pt"), map_location="cpu",
+                     weights_only=False)
+    assert torch.is_tensor(obj) and obj.dtype == torch.bool
+
+    from trase_tpu.data.masks import decode_mask_file
+
+    np.testing.assert_array_equal(
+        decode_mask_file(str(out / "masks" / "a.pt")), masks)
+
+
 def test_deform_pth_import_matches_reference_math():
     """Import a reference-format DeformNetwork state_dict and check our
     flax apply reproduces the reference forward (reimplemented here in

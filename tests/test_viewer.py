@@ -153,6 +153,37 @@ def test_viewer_modes_and_orbit(model_dir):
     assert np.abs(base - moved).max() > 0.05  # the view actually moved
 
 
+def test_trajectory_overlay(model_dir):
+    """'Visualize Trajectory' parity (reference gui.py:1154-1191):
+    FPS-sampled gaussian tracks accumulate over rendered frames and are
+    composited as polylines once >= 2 frames exist."""
+    scene, mdir = model_dir
+    from trase_tpu.viewer import HeadlessViewer
+
+    v = HeadlessViewer.from_model_path(mdir, sh_degree=1, W=64, H=64,
+                                       radius=3.0, backend="dense")
+    base = v.render_frame("Render")
+    assert v.toggle_trajectory(samp_num=8, gs_num=32)
+    first = v.render_frame("Render")  # seeds tracks, 1 sample: no lines
+    np.testing.assert_allclose(first, base, atol=1e-6)
+    assert len(v._traj["history"]) == 1
+    assert v._traj["ids"].shape == (32,)
+    # no deform net here, so move the camera to bend the projected
+    # tracks; the overlay must now touch some pixels
+    for _ in range(3):
+        v.cam.orbit(120, 40)
+        img = v.render_frame("Render")
+    assert len(v._traj["history"]) == 4
+    moved = v.render_frame("Render")
+    assert np.isfinite(moved).all()
+    # history capped at samp_num
+    for _ in range(8):
+        v.render_frame("Render")
+    assert len(v._traj["history"]) == 8
+    assert not v.toggle_trajectory(on=False)
+    assert v._traj is None
+
+
 def test_viewer_cli_script(model_dir, tmp_path):
     scene, mdir = model_dir
     sys.path.insert(0, REPO)

@@ -98,7 +98,25 @@ def main(argv=None):
     if args.start_checkpoint:
         first_iter = trainer.load_ckpt(args.start_checkpoint)
 
-    on_iteration = None
+    # --detect_anomaly: the reference flips
+    # torch.autograd.set_detect_anomaly (train.py:506,521); the jax
+    # analog re-runs a jitted step op-by-op when a NaN escapes it.
+    # --debug_from arms the same check from a given iteration.
+    if args.detect_anomaly:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
+    hooks = []
+    if args.debug_from >= 0 and not args.detect_anomaly:
+        def _debug_hook(tr, iteration, metrics):
+            if iteration >= args.debug_from:
+                import jax
+
+                jax.config.update("jax_debug_nans", True)
+
+        hooks.append(_debug_hook)
+    tracing = {"on": False}
     if args.profile_iters:
         import jax
 
@@ -106,9 +124,8 @@ def main(argv=None):
         if p_stop <= p_start:
             parser.error("--profile_iters STOP must be > START")
         trace_dir = os.path.join(dataset.model_path, "trace")
-        tracing = {"on": False}
 
-        def on_iteration(tr, iteration, metrics):
+        def _profile_hook(tr, iteration, metrics):
             # the reference's analog is per-iter CUDA-event timing
             # (train.py:140-141); this captures a full device trace.
             # >= comparisons + the `tracing` flag keep the window
@@ -121,8 +138,14 @@ def main(argv=None):
                 jax.profiler.stop_trace()
                 tracing["on"] = False
                 print("[profile] trace stopped")
-    else:
-        tracing = {"on": False}
+
+        hooks.append(_profile_hook)
+
+    on_iteration = None
+    if hooks:
+        def on_iteration(tr, iteration, metrics):
+            for h in hooks:
+                h(tr, iteration, metrics)
 
     try:
         trainer.train(

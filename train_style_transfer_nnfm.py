@@ -43,8 +43,19 @@ def main(argv=None):
     parser.add_argument("--reference_img_path", type=str, required=True)
     parser.add_argument("--vgg_weights", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--debug_from", type=int, default=-1)
+    parser.add_argument("--detect_anomaly", action="store_true",
+                        default=False)
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
     args.save_iterations.append(args.iterations)
+
+    if args.detect_anomaly or args.debug_from == 0:
+        # reference train_style_transfer_nnfm.py:377,398:
+        # torch.autograd.set_detect_anomaly; jax analog re-runs a
+        # jitted step op-by-op when a NaN escapes it
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     if args.load_iteration == -1:
         print("[ERROR] Please load a pretrained scene!!!")
@@ -121,6 +132,12 @@ def main(argv=None):
     bar = tqdm(range(first_iter, opt.iterations), desc="Style transfer")
     ema = 0.0
     for iteration in range(first_iter + 1, opt.iterations + 1):
+        if iteration - 1 == args.debug_from and args.debug_from > 0:
+            # reference: pipe.debug from this iteration (:173); ours
+            # arms the op-by-op NaN locator on the jitted style step
+            import jax
+
+            jax.config.update("jax_debug_nans", True)
         if not stack:
             stack = list(train_cams)
         cam = stack.pop(int(np_rng.integers(0, len(stack))))

@@ -17,7 +17,9 @@ window (which needs a display):
   (gui.py:1032-1064), mask-file fallback;
 - removal (render with mask=~segmented, gui.py:414-417,1070),
   save-object (save_ply(mask=...), gui.py:617-651);
-- per-frame ms / FPS readout (gui.py:1104-1124).
+- per-frame ms / FPS readout (gui.py:1104-1124);
+- gaussian-motion trajectory overlay: FPS-sampled tracks drawn as
+  jet-colored polylines over the frame (gui.py:1154-1191).
 
 The repo-root `viewer.py` CLI drives this object as a REPL.
 """
@@ -71,6 +73,9 @@ class HeadlessViewer:
         self.last_frame_ms = float("nan")
         self._pca_rgb = None
         self._jit_cache = {}
+        self.show_trajectory = False
+        self._traj = None  # dict(ids, colors, history) once enabled
+        self._traj_cfg = (32, 512, 1)  # samp_num, gs_num, thickness
 
     # ---------- model loading ----------
 
@@ -219,21 +224,24 @@ class HeadlessViewer:
         if apply_selection_removal and self.segmented_mask is not None:
             mask = ~self.segmented_mask
 
+        d_xyz = None
         if mode == "Render":
-            out, _ = self._raw_frame(mask=mask)
+            out, d_xyz = self._raw_frame(mask=mask)
             img = np.asarray(out["render"])
         elif mode == "Depth":
-            out, _ = self._raw_frame(mask=mask)
+            out, d_xyz = self._raw_frame(mask=mask)
             depth = np.asarray(out["depth"])[0]
             img = np.broadcast_to(
                 (depth / max(depth.max(), 1e-9))[None], (3,) + depth.shape
             ).copy()
         elif mode == "Rendered Features":
-            img = self._feature_render(mask)
+            out, d_xyz = self._raw_frame(override_color=self._pca(),
+                                         mask=mask)
+            img = np.asarray(out["render"])
         elif mode == "Segmentation":
             if self.cluster_rgb is None:
                 raise RuntimeError("run .cluster() first")
-            out, _ = self._raw_frame(
+            out, d_xyz = self._raw_frame(
                 override_color=self.cluster_rgb, mask=mask)
             img = np.asarray(out["render"])
         elif mode in ("Point Cloud", "Gaussian Features",
@@ -254,8 +262,73 @@ class HeadlessViewer:
         else:
             raise ValueError(f"unknown mode {mode!r}; one of {MODES}")
 
+        if self.show_trajectory and d_xyz is not None:
+            img = self._apply_trajectory(img, d_xyz)
         self.last_frame_ms = (time.perf_counter() - t0) * 1000.0
         return img
+
+    def toggle_trajectory(self, on=None, samp_num=32, gs_num=512,
+                          thickness=1):
+        """'Visualize Trajectory' checkbox (gui.py:1154-1191): track
+        farthest-point-sampled gaussians across rendered frames and
+        overlay their motion as jet-colored polylines. Tracks are
+        (re)seeded from the current selection (if any) on enable."""
+        self.show_trajectory = ((not self.show_trajectory)
+                                if on is None else bool(on))
+        self._traj = None
+        self._traj_cfg = (samp_num, gs_num, thickness)
+        return self.show_trajectory
+
+    def _apply_trajectory(self, img, d_xyz):
+        import jax
+        import jax.numpy as jnp
+
+        from .models import gaussians as G
+        from .models.deform import farthest_point_sample
+        from .viz import draw_polylines, jet_colors
+
+        samp_num, gs_num, thickness = self._traj_cfg
+        if self._traj is None:
+            # seed: opacity > .1 among alive (gui.py:1159), restricted
+            # to the selection when one exists (gui.py:1163-1166)
+            alive = np.asarray(self.aux.alive)
+            keep = alive & (
+                np.asarray(G.get_opacity(self.params))[:, 0] > 0.1)
+            if self.segmented_mask is not None:
+                sel = keep & np.asarray(self.segmented_mask)
+                if sel.sum() >= 4:
+                    keep = sel
+            cand = np.flatnonzero(keep)
+            if cand.size == 0:
+                cand = np.flatnonzero(alive)
+            m = min(gs_num, cand.size)
+            pts = jnp.asarray(
+                np.asarray(self.params.xyz)[cand], jnp.float32)
+            fps_idx = np.asarray(farthest_point_sample(
+                jax.random.PRNGKey(0), pts, m))
+            self._traj = {"ids": cand[fps_idx],
+                          "colors": jet_colors(m), "history": []}
+        tr = self._traj
+        pos = (np.asarray(self.params.xyz)
+               + np.asarray(d_xyz))[tr["ids"]]  # (M, 3)
+        tr["history"].append(pos)
+        if len(tr["history"]) > samp_num:
+            tr["history"] = tr["history"][-samp_num:]
+        if len(tr["history"]) < 2:
+            return img
+        cam = self._render_camera()
+        fp = np.asarray(cam.buffers.full_proj)
+        world = np.stack(tr["history"])  # (T, M, 3)
+        hom = np.concatenate(
+            [world, np.ones_like(world[..., :1])], axis=-1)
+        p = hom @ fp
+        xy = p[..., :2] / np.where(
+            np.abs(p[..., 3:4]) < 1e-9, 1e-9, p[..., 3:4])
+        xy = (xy + 1) / 2 * np.array([self.W, self.H], np.float32)
+        rgb, alpha = draw_polylines(self.H, self.W, xy, tr["colors"],
+                                    thickness)
+        a = alpha[None]  # (1, H, W) over the (3, H, W) frame
+        return img * (1 - a) + rgb.transpose(2, 0, 1) * a
 
     def _pca(self):
         from .viz import feature3d_to_rgb

@@ -70,6 +70,9 @@ _PAGE = """<!DOCTYPE html>
  <button onclick="cmd({cmd:'clear'})">clear selection</button>
  <label class="row"><input type="checkbox" id="removal"
    onchange="cmd({cmd:'removal', on:this.checked})">render removal</label>
+ <label class="row"><input type="checkbox" id="traj"
+   onchange="cmd({cmd:'trajectory', on:this.checked})">visualize
+   trajectory</label>
  <button onclick="cmd({cmd:'save_object'})">save object ply</button>
  <button onclick="cmd({cmd:'save_rest'})">save rest ply</button>
  <h3>Status</h3>
@@ -209,6 +212,9 @@ class ViewerServer:
                 self.removal = False
             elif cmd == "removal":
                 self.removal = bool(body.get("on", True))
+            elif cmd == "trajectory":
+                on = v.toggle_trajectory(on=body.get("on"))
+                msg = f"trajectory overlay {'on' if on else 'off'}"
             elif cmd == "save_object":
                 msg = f"wrote {v.save_object(body.get('path'))}"
             elif cmd == "save_rest":

@@ -83,10 +83,12 @@ class AsyncImageWriter:
     render.py:61-81): serial PIL saves dominate wall clock at hundreds
     of frames x ~10 streams."""
 
-    def __init__(self, workers: int = 8):
-        from concurrent.futures import ThreadPoolExecutor
+    def __init__(self, workers: int = 8, multithread: bool = True):
+        self._pool = None
+        if multithread:
+            from concurrent.futures import ThreadPoolExecutor
 
-        self._pool = ThreadPoolExecutor(max_workers=workers)
+            self._pool = ThreadPoolExecutor(max_workers=workers)
         self._futures = []
 
     def submit(self, path: str, img) -> None:
@@ -97,12 +99,16 @@ class AsyncImageWriter:
 
             Image.fromarray(arr).save(path)
 
-        self._futures.append(self._pool.submit(_write))
+        if self._pool is None:  # reference --multithread_save off
+            _write()
+        else:
+            self._futures.append(self._pool.submit(_write))
 
     def close(self) -> None:
         for f in self._futures:
             f.result()
-        self._pool.shutdown()
+        if self._pool is not None:
+            self._pool.shutdown()
 
 
 def write_video(path: str, frames, fps: int = 30) -> None:
@@ -127,3 +133,61 @@ def write_video(path: str, frames, fps: int = 30) -> None:
         vw.release()
     except Exception as e:  # noqa: BLE001
         print(f"[viz] video write failed ({e}); skipping {path}")
+
+
+def jet_colors(n: int) -> np.ndarray:
+    """(n, 3) jet colormap in [0,1] (reference gui.py:1168 cm 'jet')."""
+    try:
+        from matplotlib import cm
+
+        return np.array([cm.get_cmap("jet")(i / max(1, n - 1))[:3]
+                         for i in range(n)], np.float32)
+    except Exception:  # noqa: BLE001 — matplotlib-free fallback
+        x = np.linspace(0.0, 1.0, n, dtype=np.float32)
+        r = np.clip(1.5 - np.abs(4 * x - 3), 0, 1)
+        g = np.clip(1.5 - np.abs(4 * x - 2), 0, 1)
+        b = np.clip(1.5 - np.abs(4 * x - 1), 0, 1)
+        return np.stack([r, g, b], axis=1)
+
+
+def draw_polylines(h: int, w: int, tracks: np.ndarray,
+                   colors: np.ndarray, thickness: int = 1):
+    """Rasterize per-track polylines (reference gui.py:1184-1190).
+
+    tracks: (T, M, 2) pixel (x, y) positions of M tracks over T frames;
+    colors: (M, 3) in [0,1]. Returns (rgb (H,W,3), alpha (H,W)) float32
+    overlay buffers. cv2 when available; dense segment sampling as the
+    numpy fallback.
+    """
+    rgb = np.zeros((h, w, 3), np.float32)
+    alpha = np.zeros((h, w), np.float32)
+    if tracks.shape[0] < 2:
+        return rgb, alpha
+    try:
+        import cv2
+
+        for i in range(tracks.shape[1]):
+            pts = tracks[:, i].astype(np.int32).reshape(-1, 1, 2)
+            c = colors[i]
+            cv2.polylines(rgb, [pts], isClosed=False,
+                          color=(float(c[0]), float(c[1]), float(c[2])),
+                          thickness=thickness)
+            cv2.polylines(alpha, [pts], isClosed=False, color=1.0,
+                          thickness=thickness)
+        return rgb, alpha
+    except ImportError:
+        pass
+    # vectorized fallback: sample every segment densely
+    p0 = tracks[:-1].reshape(-1, 2)
+    p1 = tracks[1:].reshape(-1, 2)
+    seg_colors = np.broadcast_to(
+        colors[None], (tracks.shape[0] - 1,) + colors.shape).reshape(-1, 3)
+    t = np.linspace(0.0, 1.0, 48, dtype=np.float32)[None, :, None]
+    pts = p0[:, None, :] * (1 - t) + p1[:, None, :] * t  # (S, 48, 2)
+    cols = np.repeat(seg_colors, t.shape[1], axis=0)
+    xs = np.round(pts[..., 0].ravel()).astype(np.int64)
+    ys = np.round(pts[..., 1].ravel()).astype(np.int64)
+    ok = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    rgb[ys[ok], xs[ok]] = cols[ok]
+    alpha[ys[ok], xs[ok]] = 1.0
+    return rgb, alpha

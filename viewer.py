@@ -29,6 +29,10 @@ Commands:
                          composite the object (rescale/translate/rotate)
                          with this model in one rasterization
   fps                    print last frame time / FPS
+  trajectory [T [M]]     toggle the gaussian-motion overlay: track M
+                         FPS-sampled gaussians over the last T frames
+                         (reference 'Visualize Trajectory',
+                         gui.py:1154-1191)
   quit
 """
 from __future__ import annotations
@@ -169,6 +173,11 @@ def main(argv=None):
                 print(f"{v.last_frame_ms:.1f} ms -> {nonlocal_path}")
             elif cmd == "fps":
                 print(f"{v.last_frame_ms:.1f} ms ({v.fps:.1f} FPS)")
+            elif cmd == "trajectory":
+                on = v.toggle_trajectory(
+                    samp_num=int(rest[0]) if rest else 32,
+                    gs_num=int(rest[1]) if len(rest) > 1 else 512)
+                print(f"trajectory overlay {'on' if on else 'off'}")
             else:
                 print(f"unknown command {cmd!r}")
         except Exception as e:  # noqa: BLE001 — REPL resilience
