@@ -173,6 +173,65 @@ class TestWindowLayout:
         assert per_gauss_count[:n].max() <= cfg.pairs_per_gaussian
         assert per_gauss_count.sum() <= nk
 
+    def test_depth_bits_shrink_large_tile_count(self):
+        """>= 8192 tiles (1440p/4K frames): the u32 composite key
+        shrinks its depth field so the tile id still fits — pairs must
+        stay grouped by tile and depth-ordered at the coarser
+        granularity (ADVICE r1: the old fixed 19-bit depth silently
+        wrapped the key)."""
+        H, W = 1440, 2560  # 160x90 = 14400 tiles > 2^13
+        cam = make_camera(H, W)
+        means, scales, quats, colors, opac, _ = random_scene(64, 5)
+        proj = project(means, scales, quats, colors, opac, cam, H, W)
+        cfg = R.RasterConfig(pairs_per_gaussian=4, max_per_tile=64,
+                             tile_batch=4)
+        sorted_pid, _, layout, _ = RP.build_window_layout(
+            proj, H, W, cfg)
+        th, tw = R._tile_grid(H, W)
+        num_tiles = th * tw
+        assert num_tiles >= (1 << 13)
+        n = proj.mean2d.shape[0]
+        K = cfg.pairs_per_gaussian
+        ws = np.asarray(layout.win_start)
+        total_win = int(np.asarray(layout.total_win))
+        assert ws[num_tiles] == total_win and total_win > 0
+        # windows' meta tile ids must be valid despite the wider tile
+        # field
+        mt = np.asarray(layout.meta_t)
+        occupied = mt[:total_win] >> 9
+        assert occupied.max() < num_tiles
+        # every valid pair's sort bucket matches its true tile
+        depth = np.asarray(proj.depth)
+        sp = np.asarray(sorted_pid)
+        win_off = np.asarray(layout.win_off)
+        for w in range(total_win):
+            t = int(mt[w] >> 9)
+            cnt = int(mt[w] & 255)
+            gs = sp[win_off[w]:win_off[w] + cnt] // K
+            d = depth[gs]
+            # coarser quantum: 32-bit key minus ceil(log2(T+1)) bits
+            import math
+
+            depth_bits = 32 - max(14, math.ceil(
+                math.log2(num_tiles + 1)))
+            quantum = (depth.max() - depth.min()) / (
+                (1 << depth_bits) - 1)
+            assert (np.diff(d) >= -1.5 * quantum).all()
+
+    def test_layout_guards_raise(self):
+        """Static trace-time guards: un-representable tile counts and
+        2^24-exceeding pair totals raise instead of silently
+        corrupting the index maps."""
+        H, W = 64, 64
+        cam = make_camera(H, W)
+        means, scales, quats, colors, opac, _ = random_scene(16, 3)
+        proj = project(means, scales, quats, colors, opac, cam, H, W)
+        cfg = R.RasterConfig(pairs_per_gaussian=4, max_per_tile=64,
+                             tile_batch=4)
+        # > 2^22 tiles cannot fit the u32 key with >= 10 depth bits
+        with np.testing.assert_raises(ValueError):
+            RP.build_window_layout(proj, 16 * 2100, 16 * 2100, cfg)
+
     def test_fused_deform_matches_flax(self):
         from trase_tpu.models.deform import (
             deform_step, init_deform, make_deform_network,
