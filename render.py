@@ -86,7 +86,9 @@ def render_sets(args):
     bg = jnp.asarray([1.0, 1.0, 1.0] if dataset.white_background
                      else [0.0, 0.0, 0.0], jnp.float32)
     cfg = RasterConfig(pairs_per_gaussian=args.pairs_per_gaussian,
-                       max_per_tile=args.max_per_tile)
+                       max_per_tile=args.max_per_tile,
+                       pack_features=getattr(args, "pack_features",
+                                             False))
     feats = np.asarray(params.gaussian_features)[:capacity]
     pca_rgb = np.asarray(feature3d_to_rgb(jnp.asarray(feats[:n])))
     pca_full = np.zeros((capacity, 3), np.float32)
@@ -391,6 +393,7 @@ def main(argv=None):
     parser.add_argument("--use_kmeans", action="store_true")
     parser.add_argument("--multithread_save", action="store_true",
                         default=False)
+    parser.add_argument("--pack_features", action="store_true")
     parser.add_argument("--max_per_tile", type=int, default=1024)
     parser.add_argument("--pairs_per_gaussian", type=int, default=8)
     args = get_combined_args(parser, argv)

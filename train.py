@@ -41,6 +41,10 @@ def main(argv=None):
     parser.add_argument("--max_per_tile", type=int, default=1024,
                         help="rasterizer per-tile gaussian capacity")
     parser.add_argument("--pairs_per_gaussian", type=int, default=8)
+    parser.add_argument("--pack_features", action="store_true",
+                        help="bf16-pair the 32-ch feature payload in "
+                             "the Pallas compositor (1/3 less HBM "
+                             "traffic in the FEATURE phase)")
     parser.add_argument("--mesh", type=int, default=0,
                         help="train SPMD over an N-device jax mesh "
                              "(0 = single device)")
@@ -81,6 +85,7 @@ def main(argv=None):
     raster_cfg = RasterConfig(
         pairs_per_gaussian=args.pairs_per_gaussian,
         max_per_tile=args.max_per_tile,
+        pack_features=args.pack_features,
     )
     if args.mesh > 0:
         from trase_tpu.parallel import ShardedTrainer
