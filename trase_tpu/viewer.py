@@ -309,8 +309,18 @@ class HeadlessViewer:
             self._traj = {"ids": cand[fps_idx],
                           "colors": jet_colors(m), "history": []}
         tr = self._traj
-        pos = (np.asarray(self.params.xyz)
-               + np.asarray(d_xyz))[tr["ids"]]  # (M, 3)
+        if self.is_6dof and getattr(d_xyz, "ndim", 0) == 3:
+            # 6-DoF deform: d_xyz is a batch of homogeneous transforms
+            # (renderer.apply_deformation:96-99), not a displacement
+            xyz = np.asarray(self.params.xyz)[tr["ids"]]
+            T = np.asarray(d_xyz)[tr["ids"]]
+            hom = np.concatenate([xyz, np.ones_like(xyz[:, :1])], axis=1)
+            out4 = np.einsum("nij,nj->ni", T, hom)
+            pos = out4[:, :3] / np.where(
+                np.abs(out4[:, 3:4]) < 1e-9, 1e-9, out4[:, 3:4])
+        else:
+            pos = (np.asarray(self.params.xyz)
+                   + np.asarray(d_xyz))[tr["ids"]]  # (M, 3)
         tr["history"].append(pos)
         if len(tr["history"]) > samp_num:
             tr["history"] = tr["history"][-samp_num:]
