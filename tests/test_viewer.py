@@ -305,6 +305,15 @@ def test_web_viewer_server(model_dir):
         st = cmd(cmd="clear")
         assert st["selected"] == [] and st["removal"] is False
 
+        # trajectory overlay toggles over HTTP and frames keep decoding
+        st = cmd(cmd="trajectory", on=True)
+        assert st["ok"]
+        cmd(cmd="orbit", dx=30, dy=10)
+        _, tframe = get("/frame.jpg")
+        assert Image.open(io.BytesIO(tframe)).size == (96, 96)
+        st = cmd(cmd="trajectory", on=False)
+        assert st["ok"]
+
         # unknown commands surface as HTTP 500 with a JSON error
         try:
             cmd(cmd="definitely_not_a_command")
