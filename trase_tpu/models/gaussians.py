@@ -198,12 +198,16 @@ def add_densification_stats(
     """Accumulate screen-gradient norms for the clone/split criterion.
 
     The reference accumulates the CUDA rasterizer's means2D gradient
-    (scene/gaussian_model.py:637-639), which is expressed in half-screen
-    NDC units; our pixel-space gradient is rescaled by (2/W, 2/H) to
-    preserve the reference's densify_grad_threshold semantics.
+    (scene/gaussian_model.py:637-639). That kernel expresses it in NDC
+    units: its backward multiplies the pixel-space gradient by
+    ddelx_dx = 0.5 * W (diff-gaussian-rasterization backward.cu), which
+    is what the default densify_grad_threshold=2e-4 is tuned against.
+    Our mean2d offset is in PIXELS, so dL/d_ndc = dL/d_px * (W/2, H/2).
+    (Rounds 1-2 divided by W/2 instead — a (W/2)^2 understatement that
+    silently disabled densification at production resolutions.)
     """
     g = viewspace_grad * jnp.array(
-        [2.0 / image_width, 2.0 / image_height], viewspace_grad.dtype
+        [image_width / 2.0, image_height / 2.0], viewspace_grad.dtype
     )
     norm = jnp.linalg.norm(g, axis=-1)
     return aux._replace(
