@@ -140,6 +140,40 @@ def test_train_loop_two_phases(synth_dir, tmp_path):
     assert os.path.exists(deform)
 
 
+def test_pair_budget_auto_escalation(synth_dir, tmp_path):
+    """Persistent pair-budget overflow doubles pairs_per_gaussian
+    toward the reference's unbounded-coverage semantics (capped at
+    max_pairs_per_gaussian), and transient overflow resets strikes."""
+    from trase_tpu.data.scene import Scene
+    from trase_tpu.engine.loop import Trainer
+    from trase_tpu.ops.rasterize import RasterConfig
+
+    args = _Args(synth_dir, str(tmp_path / "model_esc"))
+    scene = Scene(args, resolution_scales=(1.0,))
+    tr = Trainer(args, _Opt(), _Pipe(), scene,
+                 raster_cfg=RasterConfig(pairs_per_gaussian=4,
+                                         max_per_tile=128, tile_batch=4))
+    tr.max_pairs_per_gaussian = 8
+    n = int(np.asarray(tr.state.aux.alive).sum())
+    heavy = 0.5 * n * 4  # 50% of budget dropped
+    tr._handle_overflow(100, heavy)
+    assert tr.raster_cfg.pairs_per_gaussian == 4  # one strike only
+    tr._handle_overflow(200, heavy)
+    assert tr.raster_cfg.pairs_per_gaussian == 8  # escalated
+    # capped: no escalation past max_pairs_per_gaussian
+    tr._handle_overflow(300, heavy * 2)
+    tr._handle_overflow(400, heavy * 2)
+    assert tr.raster_cfg.pairs_per_gaussian == 8
+    # a quiet check resets the strike counter
+    tr2 = Trainer(args, _Opt(), _Pipe(), scene,
+                  raster_cfg=RasterConfig(pairs_per_gaussian=4,
+                                          max_per_tile=128, tile_batch=4))
+    tr2._handle_overflow(100, heavy)
+    tr2._handle_overflow(200, 0.0)
+    tr2._handle_overflow(300, heavy)
+    assert tr2.raster_cfg.pairs_per_gaussian == 4
+
+
 def test_densification_stats_ndc_units():
     """The densify criterion accumulates the means2D gradient in NDC
     units: the CUDA backward multiplies the pixel-space gradient by

@@ -90,7 +90,7 @@ def main(argv=None):
         densify_from_iter=50,
         densify_until_iter=int(args.iterations * 0.55),
         densification_interval=100,
-        densify_grad_threshold=2e-6,  # aggressive: drive N to the target
+        densify_grad_threshold=1e-4,  # aggressive: drive N to the target
         opacity_reset_interval=100_000,  # keep everything contributing
         position_lr_max_steps=args.iterations,
         deform_lr_max_steps=args.iterations,

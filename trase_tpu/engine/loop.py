@@ -117,6 +117,13 @@ class Trainer:
 
         self.overflow_warn_frac = float(
             getattr(opt_args, "overflow_warn_frac", 0.02))
+        # auto-escalation of the pair budget: the reference rasterizer
+        # has unbounded per-gaussian tile coverage, so when truncation
+        # stays above the warning threshold we double K (one retrace)
+        # instead of silently degrading quality. 0 disables.
+        self.max_pairs_per_gaussian = int(
+            getattr(opt_args, "max_pairs_per_gaussian", 32))
+        self._overflow_strikes = 0
         self.ema_loss = 0.0
         self.ema_pos = 0.0
         self.ema_neg = 0.0
@@ -309,6 +316,37 @@ class Trainer:
     def _reset_opacity(self):
         self.state = T.reset_opacity_step(self.state)
 
+    def _handle_overflow(self, iteration: int, dropped: float):
+        """Pair-budget truncation guard: the reference rasterizer has
+        unbounded per-gaussian tile coverage; ours trades a static K
+        pair budget (RasterConfig.pairs_per_gaussian) for TPU-static
+        shapes. Complain loudly when the drop rate is no longer
+        negligible, and after two consecutive strikes double K toward
+        the reference's unbounded-coverage semantics (one retrace of
+        the jitted steps; the sharded trainer's step cache keys include
+        raster_cfg so its steps rebuild too)."""
+        total = max(float(G.num_alive(self.state.aux))
+                    * self.raster_cfg.pairs_per_gaussian, 1.0)
+        frac = dropped / total
+        if self.tb:
+            self.tb.scalar("overflow/dropped_pairs", dropped, iteration)
+        if frac <= self.overflow_warn_frac:
+            self._overflow_strikes = 0
+            return
+        print(f"[ITER {iteration}] WARNING: pair budget overflow "
+              f"{dropped:.0f} dropped pairs ({frac:.1%} of budget) — "
+              f"raise --pairs_per_gaussian (K="
+              f"{self.raster_cfg.pairs_per_gaussian})")
+        self._overflow_strikes += 1
+        k = self.raster_cfg.pairs_per_gaussian
+        if self._overflow_strikes >= 2 and \
+                k * 2 <= self.max_pairs_per_gaussian:
+            self.raster_cfg = self.raster_cfg._replace(
+                pairs_per_gaussian=k * 2)
+            self._overflow_strikes = 0
+            print(f"[ITER {iteration}] pair budget auto-escalated: "
+                  f"K={k} -> {k * 2}")
+
     # ------------------------------------------------------------- train
 
     def train(self, first_iter: int = 0, testing_iterations=(),
@@ -383,24 +421,8 @@ class Trainer:
                 self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
                 self.opt_state.step()
             if "overflow" in metrics and iteration % 100 == 0:
-                # pair-budget truncation guard: the reference rasterizer
-                # has unbounded per-gaussian tile coverage; ours trades a
-                # static K pair budget (RasterConfig.pairs_per_gaussian)
-                # for TPU-static shapes. Complain loudly when the drop
-                # rate is no longer negligible so the user raises K.
-                dropped = float(metrics["overflow"])
-                total = max(float(G.num_alive(self.state.aux))
-                            * self.raster_cfg.pairs_per_gaussian, 1.0)
-                frac = dropped / total
-                if self.tb:
-                    self.tb.scalar("overflow/dropped_pairs", dropped,
-                                   iteration)
-                if frac > self.overflow_warn_frac:
-                    print(f"[ITER {iteration}] WARNING: pair budget "
-                          f"overflow {dropped:.0f} dropped pairs "
-                          f"({frac:.1%} of budget) — raise "
-                          f"--pairs_per_gaussian (K="
-                          f"{self.raster_cfg.pairs_per_gaussian})")
+                self._handle_overflow(iteration,
+                                      float(metrics["overflow"]))
             if "pos_sim" in metrics:
                 self.ema_pos = 0.4 * float(metrics["pos_sim"]) + \
                     0.6 * self.ema_pos

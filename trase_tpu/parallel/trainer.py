@@ -88,6 +88,10 @@ class ShardedTrainer(Trainer):
     # ------------------------------------------------------------ steps
 
     def _cached(self, key, build):
+        # raster_cfg is part of every key: pair-budget auto-escalation
+        # (engine/loop.py) replaces self.raster_cfg mid-run and the
+        # rebuilt steps must not be served from the old-K cache
+        key = key + (self.raster_cfg,)
         fn = self._sharded_cache.get(key)
         if fn is None:
             fn = build()
