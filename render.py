@@ -113,7 +113,9 @@ def render_sets(args):
             os.makedirs(os.path.join(base, s), exist_ok=True)
         videos = {s: [] for s in streams}
         # reference --multithread_save / multithread_write
-        # (render.py:61-81,539); serial PIL saves otherwise
+        # (render.py:61-81,539): the CLI default is serial like the
+        # reference; programmatic callers without the attr (tests,
+        # library use) keep the threaded writer
         writer = AsyncImageWriter(
             multithread=getattr(args, "multithread_save", True))
         save_image = writer.submit

@@ -60,6 +60,8 @@ def main(argv=None):
                              "tensorboard/perfetto)")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
     args.save_iterations.append(args.iterations)
+    if args.profile_iters and args.profile_iters[1] <= args.profile_iters[0]:
+        parser.error("--profile_iters STOP must be > START")
 
     print("Optimizing " + args.model_path)
 
@@ -125,9 +127,7 @@ def main(argv=None):
     if args.profile_iters:
         import jax
 
-        p_start, p_stop = args.profile_iters
-        if p_stop <= p_start:
-            parser.error("--profile_iters STOP must be > START")
+        p_start, p_stop = args.profile_iters  # validated after parse
         trace_dir = os.path.join(dataset.model_path, "trace")
 
         def _profile_hook(tr, iteration, metrics):

@@ -133,6 +133,11 @@ class OptimizationParams:
     contrastive_mode: str = "soft"
     hard_positive_th: float = 0.75
     hard_negative_th: float = 0.5
+    # TPU-only knobs (no reference counterpart): pair-budget overflow
+    # warning threshold and the auto-escalation cap for
+    # pairs_per_gaussian (0 disables auto-escalation)
+    overflow_warn_frac: float = 0.02
+    max_pairs_per_gaussian: int = 32
 
     _shorthand = frozenset()
 

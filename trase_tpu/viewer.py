@@ -235,9 +235,7 @@ class HeadlessViewer:
                 (depth / max(depth.max(), 1e-9))[None], (3,) + depth.shape
             ).copy()
         elif mode == "Rendered Features":
-            out, d_xyz = self._raw_frame(override_color=self._pca(),
-                                         mask=mask)
-            img = np.asarray(out["render"])
+            img, d_xyz = self._feature_render(mask)
         elif mode == "Segmentation":
             if self.cluster_rgb is None:
                 raise RuntimeError("run .cluster() first")
@@ -335,8 +333,12 @@ class HeadlessViewer:
         xy = p[..., :2] / np.where(
             np.abs(p[..., 3:4]) < 1e-9, 1e-9, p[..., 3:4])
         xy = (xy + 1) / 2 * np.array([self.W, self.H], np.float32)
+        # behind-camera samples (w <= 0) project to mirrored pixels —
+        # drop the segments touching them (same guard as point_splat's
+        # p[:, 3] > 0)
+        valid = p[..., 3] > 1e-6  # (T, M)
         rgb, alpha = draw_polylines(self.H, self.W, xy, tr["colors"],
-                                    thickness)
+                                    thickness, valid=valid)
         a = alpha[None]  # (1, H, W) over the (3, H, W) frame
         return img * (1 - a) + rgb.transpose(2, 0, 1) * a
 
@@ -354,9 +356,10 @@ class HeadlessViewer:
 
     def _feature_render(self, mask):
         """Composite the 32-dim features and PCA-color them
-        (gui.py 'Rendered Features' mode)."""
-        out, _ = self._raw_frame(override_color=self._pca(), mask=mask)
-        return np.asarray(out["render"])
+        (gui.py 'Rendered Features' mode). Returns (img, d_xyz)."""
+        out, d_xyz = self._raw_frame(override_color=self._pca(),
+                                     mask=mask)
+        return np.asarray(out["render"]), d_xyz
 
     @property
     def fps(self):

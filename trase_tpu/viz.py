@@ -151,37 +151,55 @@ def jet_colors(n: int) -> np.ndarray:
 
 
 def draw_polylines(h: int, w: int, tracks: np.ndarray,
-                   colors: np.ndarray, thickness: int = 1):
+                   colors: np.ndarray, thickness: int = 1,
+                   valid: np.ndarray | None = None):
     """Rasterize per-track polylines (reference gui.py:1184-1190).
 
     tracks: (T, M, 2) pixel (x, y) positions of M tracks over T frames;
-    colors: (M, 3) in [0,1]. Returns (rgb (H,W,3), alpha (H,W)) float32
-    overlay buffers. cv2 when available; dense segment sampling as the
-    numpy fallback.
+    colors: (M, 3) in [0,1]; valid: optional (T, M) bool — segments
+    touching an invalid sample (e.g. behind-camera projections) are not
+    drawn. Returns (rgb (H,W,3), alpha (H,W)) float32 overlay buffers.
+    cv2 when available; dense segment sampling as the numpy fallback.
     """
     rgb = np.zeros((h, w, 3), np.float32)
     alpha = np.zeros((h, w), np.float32)
     if tracks.shape[0] < 2:
         return rgb, alpha
+    if valid is None:
+        valid = np.ones(tracks.shape[:2], bool)
+    seg_ok = valid[:-1] & valid[1:]  # (T-1, M)
+    # wild coordinates (near w~0) overflow int32 in cv2 — clip to a
+    # generous off-screen box so clipped segments stay geometric
+    tracks = np.clip(tracks, -4.0 * max(h, w), 4.0 * max(h, w))
     try:
         import cv2
 
         for i in range(tracks.shape[1]):
-            pts = tracks[:, i].astype(np.int32).reshape(-1, 1, 2)
             c = colors[i]
-            cv2.polylines(rgb, [pts], isClosed=False,
-                          color=(float(c[0]), float(c[1]), float(c[2])),
-                          thickness=thickness)
-            cv2.polylines(alpha, [pts], isClosed=False, color=1.0,
-                          thickness=thickness)
+            col = (float(c[0]), float(c[1]), float(c[2]))
+            # draw each maximal run of valid samples as one polyline
+            runs = np.flatnonzero(np.diff(np.concatenate(
+                [[False], valid[:, i], [False]]).astype(np.int8)))
+            for r0, r1 in zip(runs[::2], runs[1::2]):
+                if r1 - r0 < 2:
+                    continue
+                pts = tracks[r0:r1, i].astype(np.int32).reshape(-1, 1, 2)
+                cv2.polylines(rgb, [pts], isClosed=False, color=col,
+                              thickness=thickness)
+                cv2.polylines(alpha, [pts], isClosed=False, color=1.0,
+                              thickness=thickness)
         return rgb, alpha
     except ImportError:
         pass
-    # vectorized fallback: sample every segment densely
+    # vectorized fallback: sample every valid segment densely
     p0 = tracks[:-1].reshape(-1, 2)
     p1 = tracks[1:].reshape(-1, 2)
+    keep = seg_ok.reshape(-1)
     seg_colors = np.broadcast_to(
         colors[None], (tracks.shape[0] - 1,) + colors.shape).reshape(-1, 3)
+    p0, p1, seg_colors = p0[keep], p1[keep], seg_colors[keep]
+    if p0.shape[0] == 0:
+        return rgb, alpha
     t = np.linspace(0.0, 1.0, 48, dtype=np.float32)[None, :, None]
     pts = p0[:, None, :] * (1 - t) + p1[:, None, :] * t  # (S, 48, 2)
     cols = np.repeat(seg_colors, t.shape[1], axis=0)
