@@ -61,6 +61,22 @@ def _leaf(tree):
 
 
 def main():
+    # Watchdog: the axon TPU tunnel can wedge for hours (device calls
+    # block silently with no error). Bound the whole bench so a wedged
+    # tunnel yields an honest error record instead of a driver hang.
+    import signal
+
+    def _deadline(signum, frame):
+        print(json.dumps({
+            "metric": "render_fps_1k_100k_gaussians", "value": None,
+            "unit": "frames/sec", "vs_baseline": None,
+            "error": "device unreachable: bench exceeded 30 min "
+                     "(axon tunnel wedged?)"}))
+        os._exit(1)
+
+    signal.signal(signal.SIGALRM, _deadline)
+    signal.alarm(1800)
+
     import jax
     import jax.numpy as jnp
 
