@@ -124,6 +124,10 @@ def main():
     fps = 1.0 / dt
 
     # --- train-step rates (reference iter_time analogue) ---
+    # Fault-isolated: the backward kernel exercises Mosaic paths the
+    # CPU interpret tests cannot — if it fails to compile on the real
+    # chip, still report the forward FPS with an error note instead of
+    # losing the whole bench record.
     from trase_tpu.engine import trainer as T
 
     state = T.init_train_state(params, aux, dvars)
@@ -139,7 +143,13 @@ def main():
         )
         return new_state
 
-    dt_g = _time(gstep, state, iters=10)
+    errors = {}
+
+    try:
+        dt_g = _time(gstep, state, iters=10)
+    except Exception as e:  # noqa: BLE001 — keep the fwd FPS record
+        dt_g = None
+        errors["train_gaussian"] = f"{type(e).__name__}: {e}"[:300]
 
     # FEATURE phase: 8 SAM masks at half res, 32-ch feature compositing
     hm, wm = HEIGHT // 2, WIDTH // 2
@@ -160,16 +170,25 @@ def main():
         )
         return new_state
 
-    dt_f = _time(fstep, state, iters=10)
+    try:
+        dt_f = _time(fstep, state, iters=10)
+    except Exception as e:  # noqa: BLE001 — keep the fwd FPS record
+        dt_f = None
+        errors["train_feature"] = f"{type(e).__name__}: {e}"[:300]
 
-    print(json.dumps({
+    record = {
         "metric": "render_fps_1k_100k_gaussians",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / REFERENCE_FPS_ANCHOR, 3),
-        "train_gaussian_iters_per_sec": round(1.0 / dt_g, 2),
-        "train_feature_iters_per_sec": round(1.0 / dt_f, 2),
-    }))
+        "train_gaussian_iters_per_sec":
+            round(1.0 / dt_g, 2) if dt_g else None,
+        "train_feature_iters_per_sec":
+            round(1.0 / dt_f, 2) if dt_f else None,
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
