@@ -30,6 +30,24 @@ def _env_ok() -> bool:
             and "PALLAS_AXON_POOL_IPS" not in os.environ)
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (Pallas-interpret-heavy parity "
+             "cases; the default run stays under ~5 min)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    import pytest
+
+    skip = pytest.mark.skip(reason="slow (run with --runslow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 def pytest_configure(config):
     if _env_ok():
         return

@@ -36,6 +36,7 @@ def _llff_pose_row(eye, h=H, w=W, fl=80.0):
     return np.concatenate([c2w, hwf], axis=1).reshape(-1).tolist() + [0.5, 8.0]
 
 
+@pytest.mark.slow
 def test_neu3d_converter(tmp_path):
     import neu3d2blender
 

@@ -288,6 +288,7 @@ def test_chkpnt_pth_import(tmp_path, opt_shape):
     assert np.isfinite(img).all()
 
 
+@pytest.mark.slow
 def test_trainer_resumes_from_reference_chkpnt(tmp_path):
     """--start_checkpoint chkpntN.pth resumes training (train.py:77-78
     reference behavior) through Trainer.load_reference_ckpt."""

@@ -64,6 +64,7 @@ def test_sharded_render_matches_single(small_scene):
     assert float(jnp.abs(multi).max()) > 0.01
 
 
+@pytest.mark.slow
 def test_sharded_render_pallas_matches_single(small_scene):
     """Tile-row-slab Pallas sharded render (interpret on CPU) equals
     the single-device pallas path; exercises the row padding (3 tile
@@ -100,6 +101,7 @@ def test_sharded_render_pallas_matches_single(small_scene):
     assert float(jnp.abs(multi).max()) > 0.01
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs(small_scene):
     from trase_tpu.engine.trainer import (
         LearningRates, TrainState, init_train_state,
@@ -145,6 +147,7 @@ def test_sharded_train_step_runs(small_scene):
     assert float(m2["loss"]) <= float(metrics["loss"]) * 1.5
 
 
+@pytest.mark.slow
 def test_sharded_feature_step_packed_matches_unpacked(small_scene):
     """pack_features through the sharded pallas backend: the bf16-paired
     feature payload must leave the loss at fp-noise parity with the
@@ -199,6 +202,7 @@ def test_sharded_feature_step_packed_matches_unpacked(small_scene):
     assert np.abs(f0 - f1).max() < 6e-3
 
 
+@pytest.mark.slow
 def test_sharded_feature_step_matches_single(small_scene):
     """8-device FEATURE step parity with the single-device step
     (VERDICT r1 item 7): same sample, same losses, same feature update."""

@@ -133,6 +133,64 @@ class TestTiledVsReference:
         tiled = R.rasterize_tiled(proj, None, jnp.zeros(3), H, W, cfg)
         assert int(tiled["overflow"]) > 0
 
+    def test_no_index_starvation_under_overflow(self):
+        """K-budget overflow must truncate each gaussian's own rect
+        (aspect-balanced around its mean), NEVER starve high-index
+        gaussians: the dense backend's global n*K slot buffer used to
+        fill in gaussian-index order from UNCLAMPED rects, silently
+        dropping every gaussian after the budget ran out (whole
+        objects vanished at 1K resolutions — scale_val round 3)."""
+        H = W = 64
+        cam = make_camera(H, W)
+        n = 32
+        rng = np.random.default_rng(5)
+        # big splats: each covers many tiles so total coverage >> n*K
+        means = np.zeros((n, 3), np.float32)
+        means[:, 0] = rng.uniform(-0.5, 0.5, n)
+        means[:, 1] = rng.uniform(-0.5, 0.5, n)
+        means[:, 2] = 3.0
+        means[-1] = [0.0, 0.0, 2.0]  # last: front-most, at center
+        scales = np.full((n, 3), 0.25, np.float32)
+        quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+        colors = np.zeros((n, 3), np.float32)
+        colors[-1] = [0.0, 1.0, 0.0]  # the LAST gaussian is green
+        opac = np.full(n, 0.9, np.float32)
+        proj = project(means, scales, quats, colors, opac, cam, H, W)
+        cfg = R.RasterConfig(pairs_per_gaussian=2, max_per_tile=n,
+                             tile_batch=4)
+        tiled = R.rasterize_tiled(proj, None, jnp.zeros(3), H, W, cfg)
+        assert int(tiled["overflow"]) > 0  # budget IS overflowing
+        # the last gaussian must still composite around its own center
+        cx = int(np.asarray(proj.mean2d[-1, 0]))
+        cy = int(np.asarray(proj.mean2d[-1, 1]))
+        cx = min(max(cx, 0), W - 1)
+        cy = min(max(cy, 0), H - 1)
+        green = float(tiled["render"][1, cy, cx])
+        assert green > 0.05, (
+            f"last-index gaussian starved (green={green:.4f} at its "
+            f"center) — global pair-slot allocation regressed")
+
+    @pytest.mark.slow
+    def test_dense_matches_pallas_under_overflow(self):
+        """Both backends share clamp_rect_to_budget, so their
+        truncation semantics are identical pair-for-pair."""
+        from trase_tpu.ops.rasterize_pallas import rasterize_tiled_pallas
+
+        H = W = 48
+        cam = make_camera(H, W)
+        means, scales, quats, colors, opac, _ = random_scene(40, 7)
+        scales = scales * 4.0  # force rect > K for most gaussians
+        proj = project(means, scales, quats, colors, opac, cam, H, W)
+        cfg = R.RasterConfig(pairs_per_gaussian=4, max_per_tile=64,
+                             tile_batch=4)
+        dense = R.rasterize_tiled(proj, None, jnp.zeros(3), H, W, cfg)
+        pallas = rasterize_tiled_pallas(proj, None, jnp.zeros(3), H, W,
+                                        cfg, interpret=True)
+        assert int(dense["overflow"]) == int(pallas["overflow"]) > 0
+        np.testing.assert_allclose(np.asarray(dense["render"]),
+                                   np.asarray(pallas["render"]),
+                                   atol=3e-5)
+
 
 class TestGradients:
     def _loss_fn(self, H, W, cam, scales, quats, opac, target):
@@ -171,6 +229,7 @@ class TestGradients:
         np.testing.assert_allclose(np.asarray(g_colors)[0, 1], np.asarray(fd),
                                    rtol=5e-2, atol=1e-5)
 
+    @pytest.mark.slow
     def test_tiled_grads_match_reference(self):
         H = W = 32
         cam = make_camera(H, W)

@@ -268,6 +268,7 @@ class TestWindowLayout:
 
 
 class TestPallasGradients:
+    @pytest.mark.slow
     def test_grads_match_dense(self):
         H, W = 48, 64
         cam = make_camera(H, W)
@@ -305,6 +306,7 @@ class TestPallasGradients:
             # suffix accumulation associate sums differently
             assert np.abs(a - b).max() / scale < 3e-4, nm
 
+    @pytest.mark.slow
     def test_mean2d_offset_grad_through_render(self):
         """The densification signal (viewspace grad, reference
         train.py:366) must flow through the pallas path too."""
@@ -333,6 +335,7 @@ class TestPallasGradients:
         assert np.abs(np.asarray(g)).sum() > 0
 
 
+@pytest.mark.slow
 class TestPackedFeatures:
     """cfg.pack_features parity: the bf16-paired feature payload must
     leave geometry-derived outputs (rgb/alpha/depth) and ALL gradients
@@ -405,6 +408,7 @@ class TestPackedFeatures:
                                    np.asarray(ref["feats"]), atol=1e-6)
 
 
+@pytest.mark.slow
 class TestPairBudgetQuality:
     """Quantify the fixed-K pair-budget truncation cost on an
     ADVERSARIAL scene (heavy-tailed splat sizes, the trained-scene

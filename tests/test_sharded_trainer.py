@@ -38,6 +38,7 @@ def _raster_cfg():
                         tile_batch=2)
 
 
+@pytest.mark.slow
 def test_sharded_trainer_full_loop(synth_dir, tmp_path):
     """40 iterations over the mesh: both phases, a densify that forces a
     capacity growth + step-cache rebuild, an opacity reset, snapshots."""
@@ -102,6 +103,7 @@ def test_sharded_trainer_full_loop(synth_dir, tmp_path):
                                np.asarray(tr2.state.params.xyz))
 
 
+@pytest.mark.slow
 def test_sharded_trainer_matches_single_device(synth_dir, tmp_path):
     """GAUSSIAN-phase loop parity: same seed, same viewpoint order, same
     AST noise -> the mesh trainer's loss trajectory tracks the

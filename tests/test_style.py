@@ -51,6 +51,163 @@ def test_nnfm_zero_for_identical_sets():
     assert got < 1e-5
 
 
+def _torch_vgg16_features():
+    """Hand-built torch VGG16 `features` Sequential in torchvision's
+    exact module indexing (conv,relu pairs + maxpool per block) —
+    torchvision itself is absent here, but the *state-dict layout*
+    ('features.<idx>.weight') is what our converter must understand."""
+    import torch.nn as nn
+
+    blocks = [[64, 64], [128, 128], [256, 256, 256],
+              [512, 512, 512], [512, 512, 512]]
+    mods, in_c = [], 3
+    for block in blocks:
+        for out_c in block:
+            mods += [nn.Conv2d(in_c, out_c, 3, padding=1), nn.ReLU()]
+            in_c = out_c
+        mods.append(nn.MaxPool2d(2, 2))
+    return nn.Sequential(*mods)
+
+
+def test_vgg_torch_forward_parity(tmp_path):
+    """Converted torch weights reproduce the torch forward exactly:
+    proves the state-dict mapping, conv padding/layout, normalization,
+    and the pre-ReLU 'conv' vs post-ReLU 'relu' node semantics
+    (reference fx.py:39,46,51). With this pinned, dropping in the real
+    torchvision vgg16 .pth gives reference-equal features."""
+    import torch
+
+    net = _torch_vgg16_features().eval()
+    for p in net.parameters():
+        p.requires_grad_(False)
+    torch.manual_seed(0)
+    for m in net:
+        if isinstance(m, torch.nn.Conv2d):
+            torch.nn.init.normal_(m.weight, std=0.05)
+            torch.nn.init.normal_(m.bias, std=0.05)
+    pth = str(tmp_path / "vgg16_rand.pth")
+    torch.save({f"features.{i}.{k}": v
+                for i, m in enumerate(net)
+                for k, v in m.state_dict().items()}, pth)
+
+    rng = np.random.default_rng(7)
+    img = rng.random((3, 64, 64)).astype(np.float32)
+
+    # torch side: reference fx pipeline (internal ImageNet normalize)
+    mean = torch.tensor([0.485, 0.456, 0.406])[:, None, None]
+    std = torch.tensor([0.229, 0.224, 0.225])[:, None, None]
+    x = (torch.from_numpy(img) - mean) / std
+    x = x[None]
+    acts = {}
+    with torch.no_grad():
+        for i, m in enumerate(net):
+            x = m(x)
+            acts[i] = x
+    # conv4_1 pre-ReLU = module 17's output; relu2_2 = module 8's
+    want_conv4_1 = acts[17].numpy()[0]
+    want_relu2_2 = acts[8].numpy()[0]
+
+    from trase_tpu.models.vgg import make_vgg16_extractor
+
+    fx = make_vgg16_extractor(["conv4_1", "relu2_2"], pth)
+    out = fx(jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(out["conv4_1"][0]),
+                               want_conv4_1, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["relu2_2"][0]),
+                               want_relu2_2, rtol=2e-4, atol=2e-4)
+
+
+def test_lpips_torch_parity(tmp_path):
+    """Our LPIPS == the reference lpipsPyTorch pipeline (modules/
+    lpips.py:30-36, networks.py:41-63, utils.py:6-8) run in torch with
+    the same (random) backbone + heads: z-score by the LPIPS v0.1
+    scaling constants, post-ReLU target layers, eps-outside-sqrt unit
+    normalization, 1x1 heads, spatial mean, layer sum."""
+    import torch
+
+    net = _torch_vgg16_features().eval()
+    torch.manual_seed(1)
+    for m in net:
+        if isinstance(m, torch.nn.Conv2d):
+            torch.nn.init.normal_(m.weight, std=0.05)
+            torch.nn.init.normal_(m.bias, std=0.05)
+    pth = str(tmp_path / "vgg16_rand.pth")
+    torch.save({f"features.{i}.{k}": v
+                for i, m in enumerate(net)
+                for k, v in m.state_dict().items()}, pth)
+
+    channels = [64, 128, 256, 512, 512]
+    gen = torch.Generator().manual_seed(2)
+    lins = [torch.rand((1, c, 1, 1), generator=gen).abs()
+            for c in channels]
+    lin_pth = str(tmp_path / "lpips_vgg.pth")
+    torch.save({f"lin{i}.model.1.weight": w for i, w in enumerate(lins)},
+               lin_pth)
+
+    rng = np.random.default_rng(3)
+    img1 = rng.random((3, 64, 64)).astype(np.float32)
+    img2 = np.clip(img1 + rng.normal(0, 0.1, img1.shape), 0, 1).astype(
+        np.float32)
+
+    # ---- torch reference pipeline
+    shift = torch.tensor([-.030, -.088, -.188])[None, :, None, None]
+    scale = torch.tensor([.458, .448, .450])[None, :, None, None]
+    target = [3, 8, 15, 22, 29]  # relu modules of conv{1_2,...,5_3}
+
+    def feats(img):
+        x = (torch.from_numpy(img)[None] - shift) / scale
+        out = []
+        with torch.no_grad():
+            for i, m in enumerate(net):
+                x = m(x)
+                if i in target:
+                    n = torch.sqrt(torch.sum(x ** 2, 1, keepdim=True))
+                    out.append(x / (n + 1e-10))
+        return out
+
+    f1, f2 = feats(img1), feats(img2)
+    want = 0.0
+    for a, b, w in zip(f1, f2, lins):
+        d = (a - b) ** 2
+        want += torch.nn.functional.conv2d(d, w).mean((2, 3)).item()
+
+    from trase_tpu.losses.lpips import make_lpips
+
+    lpips = make_lpips(pth, lin_pth)
+    got = float(lpips(jnp.asarray(img1), jnp.asarray(img2)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-6)
+
+
+def test_lpips_lin_npz_roundtrip(tmp_path):
+    """tools/fetch_vgg_weights.py's .npz lin-head export loads
+    identically to the .pth path."""
+    import torch
+
+    channels = [64, 128, 256, 512, 512]
+    gen = torch.Generator().manual_seed(4)
+    lins = {f"lin{i}.model.1.weight": torch.rand((1, c, 1, 1),
+                                                 generator=gen)
+            for i, c in enumerate(channels)}
+    lin_pth = str(tmp_path / "vgg.pth")
+    torch.save(lins, lin_pth)
+
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from fetch_vgg_weights import convert_lpips
+
+    npz = str(tmp_path / "lpips_vgg.npz")
+    convert_lpips(lin_pth, npz)
+
+    from trase_tpu.losses.lpips import load_lin_weights
+
+    a = load_lin_weights(lin_pth)
+    b = load_lin_weights(npz)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_vgg_weight_npz_roundtrip(tmp_path):
     from trase_tpu.models.vgg import (
         VGG16_BLOCKS, load_vgg_weights, make_vgg16_extractor,

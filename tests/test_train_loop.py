@@ -84,6 +84,7 @@ def synth_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow
 def test_train_loop_two_phases(synth_dir, tmp_path):
     from trase_tpu.data.scene import Scene
     from trase_tpu.engine import trainer as T
@@ -138,6 +139,37 @@ def test_train_loop_two_phases(synth_dir, tmp_path):
     deform = os.path.join(args.model_path, "deform", "iteration_40",
                           "deform.pkl")
     assert os.path.exists(deform)
+
+
+def test_train_loop_smoke(synth_dir, tmp_path):
+    """Fast default-suite cousin of test_train_loop_two_phases (slow):
+    a GAUSSIAN-only run short enough to compile just one step function,
+    checking the loop runs, losses are finite and decreasing, and the
+    snapshot lands."""
+    from trase_tpu.data.scene import Scene
+    from trase_tpu.engine.loop import Trainer
+    from trase_tpu.ops.rasterize import RasterConfig
+
+    args = _Args(synth_dir, str(tmp_path / "model_smoke"))
+    opt = _Opt()
+    opt.iterations = 8
+    opt.warm_up = 2
+    opt.warm_up_3d_features = 100  # never switches to FEATURE
+    opt.densify_until_iter = 0  # no densify compile
+    cfg = RasterConfig(pairs_per_gaussian=4, max_per_tile=128,
+                       tile_batch=4)
+    tr = Trainer(args, opt, _Pipe(), scene := Scene(
+        args, resolution_scales=(1.0,)), raster_cfg=cfg)
+
+    losses = []
+    tr.train(first_iter=0, saving_iterations={8}, progress=False,
+             on_iteration=lambda t, i, m: losses.append(
+                 float(m["loss"])))
+    assert len(losses) == 8
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+    assert os.path.exists(os.path.join(
+        args.model_path, "point_cloud", "iteration_8", "point_cloud.ply"))
 
 
 def test_pair_budget_auto_escalation(synth_dir, tmp_path):
@@ -203,6 +235,71 @@ def test_densification_stats_ndc_units():
     assert float(out.denom[0]) == 1.0 and float(out.denom[3]) == 0.0
 
 
+@pytest.mark.slow
+def test_densify_fires_at_1k_resolution():
+    """End-to-end units regression (VERDICT r2 item 6): at a 1K-class
+    resolution with the reference's DEFAULT densify_grad_threshold=2e-4
+    (arguments/__init__.py:121), a photometrically misaligned scene
+    must accumulate screen-gradient stats that actually fire
+    clone/split. Under the pre-0fd041c pixel->NDC conversion bug
+    (divide instead of multiply by W/2 — a (W/2)^2 ~ 450,000x
+    understatement at this width) no gaussian crosses the threshold and
+    this test fails, so the fix cannot silently regress again."""
+    import jax
+    import jax.numpy as jnp
+
+    from trase_tpu.engine import trainer as T
+    from trase_tpu.models import gaussians as G
+    from trase_tpu.ops.rasterize import RasterConfig
+    from trase_tpu.renderer import make_render_camera, render
+
+    H, W = 1008, 1344
+    rng = np.random.default_rng(3)
+    n = 48
+    pts = np.concatenate(
+        [rng.uniform(-1.2, 1.2, (n, 2)), rng.uniform(3.5, 4.5, (n, 1))],
+        axis=1).astype(np.float32)
+    cols = rng.uniform(0.3, 1.0, (n, 3)).astype(np.float32)
+    d2 = np.full(n, 0.01, np.float32)  # ~fat blobs, clearly visible
+    params, aux = G.from_point_cloud(pts, cols, sh_degree=1,
+                                     capacity=128, dist2=d2)
+    cam = make_render_camera(np.eye(3), np.zeros(3), 1.1, 0.85, H, W)
+    cfg = RasterConfig(pairs_per_gaussian=4, max_per_tile=32,
+                       tile_batch=128)
+
+    # GT = the same scene shifted ~15 px in screen space: a pure
+    # translation misalignment, the cleanest screen-gradient source
+    gt_params = params._replace(xyz=params.xyz + jnp.array([0.05, 0., 0.]))
+    gt = render(cam, gt_params, aux.alive, jnp.zeros(3), sh_degree=1,
+                with_features=False, raster_cfg=cfg)["render"]
+
+    state = T.init_train_state(params, aux, {})
+    lrs = T.LearningRates(*(jnp.float32(1e-4) for _ in range(8)))
+    state, metrics = T.gaussian_phase_step(
+        state, cam.buffers, gt, jnp.float32(0.0), jnp.float32(0.0),
+        lrs, jnp.zeros(3), deform_net=None, image_height=H,
+        image_width=W, sh_degree=1, use_deform=False, is_6dof=False,
+        lambda_dssim=0.2, lambda_reg_deform=0.0, raster_cfg=cfg)
+    assert bool(metrics["finite"])
+
+    avg = np.asarray(state.aux.xyz_gradient_accum) / np.maximum(
+        np.asarray(state.aux.denom), 1.0)
+    # the DEFAULT reference threshold, not a tuned-down one
+    assert (avg > 2e-4).sum() >= n // 4, (
+        f"only {(avg > 2e-4).sum()} of {n} gaussians cross the default "
+        f"densify threshold at {W}px — screen-gradient units regressed?")
+
+    n_before = int(G.num_alive(state.aux))
+    new_state, stats = T.densify_step(
+        state, jax.random.PRNGKey(0), jnp.float32(4.0), jnp.float32(0.0),
+        cfg=G.DensifyConfig(grad_threshold=2e-4, percent_dense=0.01),
+        max_new=64)
+    n_after = int(G.num_alive(new_state.aux))
+    assert n_after > n_before, (
+        f"densification did not fire ({n_before} -> {n_after}) with the "
+        f"default threshold at 1K resolution")
+
+
 def test_checkpoint_roundtrip(synth_dir, tmp_path):
     from trase_tpu.data.scene import Scene
     from trase_tpu.engine.loop import Trainer
@@ -227,6 +324,25 @@ def test_checkpoint_roundtrip(synth_dir, tmp_path):
     a = np.asarray(tr.state.params.xyz)
     b = np.asarray(tr2.state.params.xyz)
     np.testing.assert_allclose(a, b)
+
+    # a checkpoint written under a different TrainState layout must fail
+    # loudly, not restore positionally (VERDICT r2 item 9)
+    import pickle
+
+    import pytest
+
+    with open(ck, "rb") as f:
+        payload = pickle.load(f)
+    assert payload.get("schema"), "checkpoints must carry a keyed schema"
+    bad = dict(payload)
+    bad["schema"] = [("['renamed_field']", d) if i == 0 else (p, d)
+                     for i, (p, d) in enumerate(payload["schema"])]
+    ck_bad = ck + ".bad"
+    with open(ck_bad, "wb") as f:
+        pickle.dump(bad, f)
+    tr3 = Trainer(args, opt, _Pipe(), scene, raster_cfg=cfg)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        tr3.load_ckpt(ck_bad)
 
 
 def test_mask_and_gt_cache_bounded(synth_dir, tmp_path):
@@ -301,6 +417,7 @@ def test_all_deform_variants_train(synth_dir, tmp_path, deform_type):
     assert T.GAUSSIAN in phases and T.FEATURE in phases
 
 
+@pytest.mark.slow
 def test_feature_step_mask_resolution_resize(synth_dir):
     """FEATURE phase with masks at a DIFFERENT resolution than the
     render: the rendered feature image is bilinear-resized to mask

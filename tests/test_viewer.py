@@ -200,6 +200,7 @@ def test_viewer_cli_script(model_dir, tmp_path):
     assert len(frames) == 2
 
 
+@pytest.mark.slow
 def test_composition(model_dir, tmp_path):
     """Object extraction -> load_object -> render_composite (the
     reference's removal/composition editing workflow:

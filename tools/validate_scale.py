@@ -48,6 +48,9 @@ def main(argv=None):
                          "gaussians (0 = just run the schedule)")
     ap.add_argument("--pairs_per_gaussian", type=int, default=8)
     ap.add_argument("--max_per_tile", type=int, default=1024)
+    ap.add_argument("--pack_features", action="store_true",
+                    help="bf16-paired feature payload (quality "
+                         "validation of RasterConfig.pack_features)")
     ap.add_argument("--max_new", type=int, default=32768,
                     help="per-densify growth budget")
     ap.add_argument("--mesh", type=int, default=0,
@@ -97,7 +100,8 @@ def main(argv=None):
     )
     pipe = PipelineParams()
     raster_cfg = RasterConfig(pairs_per_gaussian=args.pairs_per_gaussian,
-                              max_per_tile=args.max_per_tile)
+                              max_per_tile=args.max_per_tile,
+                              pack_features=args.pack_features)
 
     scene = Scene(dataset, resolution_scales=(1.0,))
     if args.mesh > 0:

@@ -118,7 +118,11 @@ def main(argv=None):
     with Image.open(args.reference_img_path) as im:
         ref = np.asarray(im.convert("RGB"), np.float32) / 255.0
     ref_chw = jnp.asarray(ref.transpose(2, 0, 1))
-    ref_feats = vgg(ref_chw)[fx_key][0]
+    # the reference normalizes once outside the extractor AND once
+    # inside its forward (train_style_transfer_nnfm.py:104,199 +
+    # fx.py:72) — replicate the double application so the conv4_1
+    # feature space matches bit-for-bit
+    ref_feats = vgg(vgg.normalize(ref_chw))[fx_key][0]
     ref_feats = ref_feats.reshape(ref_feats.shape[0], -1)
 
     trainer.active_sh_degree = trainer.max_sh_degree

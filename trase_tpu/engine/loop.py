@@ -124,6 +124,9 @@ class Trainer:
         self.max_pairs_per_gaussian = int(
             getattr(opt_args, "max_pairs_per_gaussian", 32))
         self._overflow_strikes = 0
+        self._pending_metrics = None
+        self._last_consume_t = None
+        self._n_alive_cache = int(G.num_alive(self.state.aux))
         self.ema_loss = 0.0
         self.ema_pos = 0.0
         self.ema_neg = 0.0
@@ -311,6 +314,8 @@ class Trainer:
         )
         self.state = new_state
         self._smooth_dirty = True
+        self._n_alive_cache = int(stats["n_alive"]) \
+            if "n_alive" in stats else int(G.num_alive(new_state.aux))
         return stats
 
     def _reset_opacity(self):
@@ -325,7 +330,7 @@ class Trainer:
         the reference's unbounded-coverage semantics (one retrace of
         the jitted steps; the sharded trainer's step cache keys include
         raster_cfg so its steps rebuild too)."""
-        total = max(float(G.num_alive(self.state.aux))
+        total = max(float(self._n_alive_cache)
                     * self.raster_cfg.pairs_per_gaussian, 1.0)
         frac = dropped / total
         if self.tb:
@@ -376,7 +381,6 @@ class Trainer:
 
         t_start = time.time()
         for iteration in range(first_iter + 1, opt.iterations + 1):
-            it_t0 = time.time()
             if iteration % 1000 == 0 and \
                     self.active_sh_degree < self.max_sh_degree:
                 self.active_sh_degree += 1
@@ -413,45 +417,29 @@ class Trainer:
                 if metrics is None:
                     metrics = self._gaussian_step(cam, iteration)
 
-            loss = float(metrics["loss"])
-            finite = bool(metrics["finite"])
-            if not finite:
-                print("NaN loss detected!!!")
-            else:
-                self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
-                self.opt_state.step()
-            if "overflow" in metrics and iteration % 100 == 0:
-                self._handle_overflow(iteration,
-                                      float(metrics["overflow"]))
-            if "pos_sim" in metrics:
-                self.ema_pos = 0.4 * float(metrics["pos_sim"]) + \
-                    0.6 * self.ema_pos
-                self.ema_neg = 0.4 * float(metrics["neg_sim"]) + \
-                    0.6 * self.ema_neg
-
-            if self.tb:
-                if "l1" in metrics:
-                    self.tb.scalar("train_loss_patches/l1_loss",
-                                   float(metrics["l1"]), iteration)
-                self.tb.scalar("train_loss_patches/total_loss", loss,
-                               iteration)
-                self.tb.scalar("iter_time",
-                               (time.time() - it_t0) * 1000.0, iteration)
-
+            # Pipeline the metrics fetch: consume the PREVIOUS step's
+            # metrics now (its device work has been overlapping this
+            # iteration's host prep + enqueue), keeping the device one
+            # step ahead instead of stalling on a host sync per iter.
+            # The phase counter is incremented optimistically at
+            # enqueue (finite losses are the overwhelming case —
+            # matching reference train.py:378-380 exactly on healthy
+            # runs) and retro-corrected on a NaN when it is consumed.
+            self.opt_state.step()
+            if self._pending_metrics is not None:
+                self._consume_metrics(*self._pending_metrics,
+                                      iter_bar=iter_bar)
+            self._pending_metrics = (iteration, metrics)
             if iter_bar and iteration % 10 == 0:
-                show = {"Loss": f"{self.ema_loss:.3f}",
-                        "State": self.opt_state.state,
-                        "Points": int(G.num_alive(self.state.aux))}
-                if self.opt_state.state == T.FEATURE:
-                    show["RFN"] = f"{float(metrics.get('rfn', 0)):.3f}"
-                    show["Pos sim."] = f"{self.ema_pos:.3f}"
-                    show["Neg sim."] = f"{self.ema_neg:.3f}"
-                if getattr(self.opt, "monitor_mem", False):
-                    # reference --monitor_mem fields (train.py:318-320):
-                    # peak device memory + host RSS
-                    show.update(self._memory_stats())
-                iter_bar.set_postfix(show)
                 iter_bar.update(10)
+
+            milestone = (iteration in testing_iterations
+                         or iteration in saving_iterations
+                         or iteration in checkpoint_iterations)
+            if milestone:
+                self._consume_metrics(*self._pending_metrics,
+                                      iter_bar=iter_bar)
+                self._pending_metrics = None
 
             if iteration in testing_iterations:
                 cur = self.evaluate(iteration)
@@ -478,6 +466,10 @@ class Trainer:
             if on_iteration is not None:
                 on_iteration(self, iteration, metrics)
 
+        if self._pending_metrics is not None:
+            self._consume_metrics(*self._pending_metrics,
+                                  iter_bar=iter_bar)
+            self._pending_metrics = None
         if iter_bar:
             iter_bar.close()
         dt = time.time() - t_start
@@ -487,6 +479,57 @@ class Trainer:
         if n_iters > 0:
             print(f"[timing] {n_iters} iters in {dt:.1f}s = "
                   f"{n_iters / dt:.2f} it/s")
+
+    def _consume_metrics(self, iteration: int, metrics: dict,
+                         iter_bar=None):
+        """Host-side bookkeeping for a completed step: NaN guard
+        (retro-corrects the optimistic phase-counter increment), EMA
+        displays, TensorBoard scalars, overflow telemetry. Runs one
+        iteration behind the device by design."""
+        loss = float(metrics["loss"])
+        finite = bool(metrics["finite"])
+        if not finite:
+            print("NaN loss detected!!!")
+            # undo the optimistic opt_state.step() for this iteration
+            # (the in-graph NaN guard already skipped the param update)
+            self.opt_state.iterations = max(
+                0, self.opt_state.iterations - 1)
+        else:
+            self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+        if "overflow" in metrics and iteration % 100 == 0:
+            self._handle_overflow(iteration, float(metrics["overflow"]))
+        if "pos_sim" in metrics:
+            self.ema_pos = 0.4 * float(metrics["pos_sim"]) + \
+                0.6 * self.ema_pos
+            self.ema_neg = 0.4 * float(metrics["neg_sim"]) + \
+                0.6 * self.ema_neg
+
+        now = time.time()
+        if self.tb:
+            if "l1" in metrics:
+                self.tb.scalar("train_loss_patches/l1_loss",
+                               float(metrics["l1"]), iteration)
+            self.tb.scalar("train_loss_patches/total_loss", loss,
+                           iteration)
+            if self._last_consume_t is not None:
+                self.tb.scalar(
+                    "iter_time",
+                    (now - self._last_consume_t) * 1000.0, iteration)
+        self._last_consume_t = now
+
+        if iter_bar and iteration % 10 == 0:
+            show = {"Loss": f"{self.ema_loss:.3f}",
+                    "State": self.opt_state.state,
+                    "Points": self._n_alive_cache}
+            if self.opt_state.state == T.FEATURE:
+                show["RFN"] = f"{float(metrics.get('rfn', 0)):.3f}"
+                show["Pos sim."] = f"{self.ema_pos:.3f}"
+                show["Neg sim."] = f"{self.ema_neg:.3f}"
+            if getattr(self.opt, "monitor_mem", False):
+                # reference --monitor_mem fields (train.py:318-320):
+                # peak device memory + host RSS
+                show.update(self._memory_stats())
+            iter_bar.set_postfix(show)
 
     def _memory_stats(self) -> dict:
         """Peak device bytes + host RSS, the reference's --monitor_mem
@@ -590,12 +633,30 @@ class Trainer:
                          "type": getattr(self.opt, "deform_type",
                                          "DeformNetwork")})
 
+    @staticmethod
+    def _state_schema(state) -> list:
+        """Keyed schema of a TrainState pytree: (path, dtype) per leaf.
+
+        NamedTuples pickle positionally, so a field rename between save
+        and load would silently transpose state through a bare
+        unflatten. The schema is written into the checkpoint at save
+        time and checked by name against the live template on load.
+        Shapes are intentionally NOT part of the schema — capacity
+        growth between runs is legal.
+        """
+        leaves = jax.tree_util.tree_flatten_with_path(state)[0]
+        return [(jax.tree_util.keystr(p),
+                 str(np.asarray(x).dtype) if hasattr(x, "dtype") else
+                 type(x).__name__)
+                for p, x in leaves]
+
     def save_ckpt(self, iteration: int):
         print(f"\n[ITER {iteration}] Saving Checkpoint")
         save_checkpoint(
             os.path.join(self.args.model_path, f"chkpnt{iteration}.pkl"),
             {
                 "state": self.state,
+                "schema": self._state_schema(self.state),
                 "iteration": iteration,
                 "active_sh_degree": self.active_sh_degree,
                 "opt_state": (self.opt_state.state,
@@ -608,9 +669,41 @@ class Trainer:
             return self.load_reference_ckpt(path)
         payload = load_checkpoint(path)
         tmpl = self.state
+        tmpl_schema = self._state_schema(tmpl)
+        saved_schema = payload.get("schema")
+        if saved_schema is not None:
+            saved_schema = [tuple(row) for row in saved_schema]
+            if saved_schema != tmpl_schema:
+                saved_paths = [p for p, _ in saved_schema]
+                tmpl_paths = [p for p, _ in tmpl_schema]
+                missing = [p for p in tmpl_paths if p not in saved_paths]
+                extra = [p for p in saved_paths if p not in tmpl_paths]
+                dtype_diff = [
+                    (p, sd, td)
+                    for (p, sd), (tp, td) in zip(saved_schema, tmpl_schema)
+                    if p == tp and sd != td
+                ]
+                raise ValueError(
+                    f"checkpoint schema mismatch loading {path}: "
+                    f"missing fields {missing or 'none'}, unexpected "
+                    f"fields {extra or 'none'}, dtype changes "
+                    f"{dtype_diff or 'none'}. The checkpoint was written "
+                    f"by a different TrainState layout; refusing to load "
+                    f"it positionally."
+                )
+        else:
+            import warnings
+
+            warnings.warn(
+                f"{path} predates keyed checkpoint schemas; falling back "
+                f"to positional restore (fields are matched by order)."
+            )
         flat_np, _ = jax.tree_util.tree_flatten(payload["state"])
         flat_t, treedef = jax.tree_util.tree_flatten(tmpl)
-        assert len(flat_np) == len(flat_t), "checkpoint structure mismatch"
+        if len(flat_np) != len(flat_t):
+            raise ValueError(
+                f"checkpoint structure mismatch loading {path}: "
+                f"{len(flat_np)} leaves saved vs {len(flat_t)} expected")
         self.state = jax.tree_util.tree_unflatten(
             treedef, [jnp.asarray(x) for x in flat_np])
         self.active_sh_degree = payload["active_sh_degree"]
@@ -635,3 +728,4 @@ class Trainer:
 
     def _postload(self):
         """Hook for subclasses that must re-place state after a load."""
+        self._n_alive_cache = int(G.num_alive(self.state.aux))

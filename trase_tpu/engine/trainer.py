@@ -513,7 +513,9 @@ def style_phase_step(
             mean2d_offset=off, with_features=False, raster_cfg=raster_cfg,
         )
         image = jnp.clip(out["render"], 0.0, 1.0)
-        feats = vgg_ext(image)[fx_key][0]  # (C, h, w)
+        # double normalization (external + internal) matches the
+        # reference pipeline exactly — see models/vgg.py normalize()
+        feats = vgg_ext(vgg_ext.normalize(image))[fx_key][0]  # (C, h, w)
         loss = loss_nnfm_style(
             feats.reshape(feats.shape[0], -1), ref_vgg_feats
         )

@@ -22,14 +22,30 @@ import numpy as np
 
 from ..models.vgg import VGGFeatureExtractor, VGG16_BLOCKS, load_vgg_weights
 
-_LPIPS_LAYERS = ["conv1_2", "conv2_2", "conv3_3", "conv4_3", "conv5_3"]
+# post-ReLU activations of conv{1_2,2_2,3_3,4_3,5_3}: the reference's
+# VGG16 target_layers [4,9,16,23,30] are 1-based feature-module indices
+# (networks.py enumerate(..., 1)), i.e. the ReLU outputs
+_LPIPS_LAYERS = ["relu1_2", "relu2_2", "relu3_3", "relu4_3", "relu5_3"]
 _LPIPS_CHANNELS = [64, 128, 256, 512, 512]
+
+# LPIPS v0.1 scaling layer (reference networks.py:41-44) — NOT the
+# ImageNet stats; applied to inputs as given (the reference callers
+# pass [0,1] images straight through, metrics_segmentation.py:145)
+_LPIPS_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_LPIPS_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
 def load_lin_weights(path: str | None):
-    """Official LPIPS linear-head weights ('lin{i}.model.1.weight')."""
+    """LPIPS linear-head weights: official .pth
+    ('lin{i}.model.1.weight') or tools/fetch_vgg_weights.py .npz
+    (keys 'lin0'..'lin4')."""
     if not path or not os.path.exists(path):
         return None
+    if path.endswith(".npz"):
+        z = np.load(path)
+        if not all(f"lin{i}" in z.files for i in range(5)):
+            return None
+        return [np.asarray(z[f"lin{i}"], np.float32) for i in range(5)]
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
@@ -52,7 +68,8 @@ def make_lpips(vgg_weights: str | None, lin_weights: str | None = None):
     weights = load_vgg_weights(vgg_weights) if vgg_weights else None
     if weights is None:
         return None
-    fx = VGGFeatureExtractor(_LPIPS_LAYERS, VGG16_BLOCKS, weights)
+    fx = VGGFeatureExtractor(_LPIPS_LAYERS, VGG16_BLOCKS, weights,
+                             normalization=(_LPIPS_SHIFT, _LPIPS_SCALE))
     lins = load_lin_weights(lin_weights)
     if lins is None:
         # uniform heads: still a valid perceptual distance, just not
@@ -70,8 +87,10 @@ def make_lpips(vgg_weights: str | None, lin_weights: str | None = None):
         total = 0.0
         for name, w in zip(_LPIPS_LAYERS, lins):
             a, b = f1[name], f2[name]
-            a = a / jnp.sqrt(jnp.sum(a * a, 1, keepdims=True) + 1e-10)
-            b = b / jnp.sqrt(jnp.sum(b * b, 1, keepdims=True) + 1e-10)
+            # reference normalize_activation: eps OUTSIDE the sqrt
+            # (utils.py:6-8)
+            a = a / (jnp.sqrt(jnp.sum(a * a, 1, keepdims=True)) + 1e-10)
+            b = b / (jnp.sqrt(jnp.sum(b * b, 1, keepdims=True)) + 1e-10)
             d = (a - b) ** 2  # (N, C, H, W)
             total = total + jnp.einsum("nchw,c->n", d, w) / (
                 d.shape[2] * d.shape[3])

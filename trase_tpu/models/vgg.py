@@ -46,28 +46,40 @@ def _conv(x, w, b):
 class VGGFeatureExtractor:
     """Functional extractor: __call__(img_chw[0..1]) -> {name: (1,C,H,W)}.
 
-    `layer_names` accepts 'convI_J' (J-th conv of block I, 1-based) and
-    'convI' (channel-concat of all convs in block I), matching the
-    reference's parser (fx.py:17-63).
+    `layer_names` follows the reference's NODE_PATTERN parser exactly
+    (fx.py:18,32-49): 'convI_J' is the PRE-ReLU output of the J-th conv
+    of block I (1-based), 'reluI_J' the post-ReLU activation, and the
+    block forms 'convI' / 'reluI' concatenate every conv of block I
+    along channels. (The reference maps 'conv' to the torchvision
+    features index of the conv module and 'relu' to index+1 —
+    fx.py:39,46,51 — so the style trainer's 'conv4_1' is the raw conv
+    output, not the activation.)
+
+    `normalization`: (mean, std) channel stats applied to the input.
+    Defaults to ImageNet (the reference fx.py:60-61); the LPIPS path
+    passes the LPIPS v0.1 scaling-layer constants instead.
     """
 
     def __init__(self, layer_names: Sequence[str], blocks,
-                 weights: dict | None = None, seed: int = 0):
+                 weights: dict | None = None, seed: int = 0,
+                 normalization: tuple | None = None):
         self.blocks = blocks
         self.layer_names = list(layer_names)
-        needed = set()
+        if normalization is None:
+            normalization = (IMAGENET_MEAN, IMAGENET_STD)
+        self.norm_mean = np.asarray(normalization[0], np.float32)
+        self.norm_std = np.asarray(normalization[1], np.float32)
+        needed = set()  # (op, block, conv) with op in {'conv','relu'}
         for name in self.layer_names:
-            m = re.fullmatch(r"conv(\d+)_(\d+)", name)
-            if m:
-                needed.add((int(m.group(1)) - 1, int(m.group(2)) - 1))
-                continue
-            m = re.fullmatch(r"conv(\d+)", name)
-            if m:
-                b = int(m.group(1)) - 1
-                needed.update((b, j) for j in range(len(blocks[b])))
-                continue
-            raise ValueError(f"Invalid layer name: {name}")
-        self.max_block = max(b for b, _ in needed)
+            m = re.fullmatch(r"(conv|relu)([1-5])(?:_([1-4]))?", name)
+            if not m:
+                raise ValueError(f"Invalid layer name: {name}")
+            op, b, j = m.group(1), int(m.group(2)) - 1, m.group(3)
+            if j is not None:
+                needed.add((op, b, int(j) - 1))
+            else:
+                needed.update((op, b, jj) for jj in range(len(blocks[b])))
+        self.max_block = max(b for _, b, _ in needed)
         self.needed = needed
 
         if weights is None:
@@ -87,21 +99,39 @@ class VGGFeatureExtractor:
             for k, (w, b) in weights.items()
         }
 
+    def normalize(self, image: jnp.ndarray) -> jnp.ndarray:
+        """Channel-normalize an image EXTERNALLY (fx.py's public
+        `.normalize`). Note __call__ always normalizes internally too
+        (fx.py:72 does the same) — the reference style trainer calls
+        both (train_style_transfer_nnfm.py:104,199), i.e. its conv4_1
+        features are of a twice-normalized image; callers replicating
+        that pipeline must apply this before __call__."""
+        mean = jnp.asarray(self.norm_mean)
+        std = jnp.asarray(self.norm_std)
+        if image.ndim == 4:
+            return (image - mean[None, :, None, None]) / std[
+                None, :, None, None]
+        return (image - mean[:, None, None]) / std[:, None, None]
+
     def __call__(self, image: jnp.ndarray, detach: bool = False) -> dict:
         """image: (3,H,W) or (N,3,H,W) in [0,1]."""
         x = image if image.ndim == 4 else image[None]
-        mean = jnp.asarray(IMAGENET_MEAN)[None, :, None, None]
-        std = jnp.asarray(IMAGENET_STD)[None, :, None, None]
+        mean = jnp.asarray(self.norm_mean)[None, :, None, None]
+        std = jnp.asarray(self.norm_std)[None, :, None, None]
         x = (x - mean) / std
 
-        acts: dict = {}
+        acts: dict = {}  # (op, block, conv) -> activation
         for bi, block in enumerate(self.blocks):
             if bi > self.max_block:
                 break
             for ci in range(len(block)):
                 w, b = self.weights[(bi, ci)]
-                x = jax.nn.relu(_conv(x, w, b))
-                acts[(bi, ci)] = x
+                pre = _conv(x, w, b)
+                x = jax.nn.relu(pre)
+                if ("conv", bi, ci) in self.needed:
+                    acts[("conv", bi, ci)] = pre
+                if ("relu", bi, ci) in self.needed:
+                    acts[("relu", bi, ci)] = x
             x = jax.lax.reduce_window(
                 x, -jnp.inf, jax.lax.max, (1, 1, 2, 2), (1, 1, 2, 2),
                 "VALID",
@@ -109,14 +139,14 @@ class VGGFeatureExtractor:
 
         out = {}
         for name in self.layer_names:
-            m = re.fullmatch(r"conv(\d+)_(\d+)", name)
-            if m:
-                v = acts[(int(m.group(1)) - 1, int(m.group(2)) - 1)]
+            m = re.fullmatch(r"(conv|relu)([1-5])(?:_([1-4]))?", name)
+            op, b, j = m.group(1), int(m.group(2)) - 1, m.group(3)
+            if j is not None:
+                v = acts[(op, b, int(j) - 1)]
             else:
-                b = int(name[4:]) - 1
                 v = jnp.concatenate(
-                    [acts[(b, j)] for j in range(len(self.blocks[b]))],
-                    axis=1)
+                    [acts[(op, b, jj)]
+                     for jj in range(len(self.blocks[b]))], axis=1)
             out[name] = jax.lax.stop_gradient(v) if detach else v
         return out
 

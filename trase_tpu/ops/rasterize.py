@@ -92,6 +92,34 @@ def _tile_rects(proj: ProjectedGaussians, th: int, tw: int):
     return tx0, ty0, w, count
 
 
+def clamp_rect_to_budget(tx0, ty0, rect_w, count, mean2d, K: int):
+    """Aspect-balanced truncation of oversized tile rects (both
+    backends): rects larger than K tiles shrink to a <= K-tile
+    sub-rect centered on the projected mean, so the dropped tiles are
+    the farthest (weakest) ones. Returns (x0, y0, w2, count2) with
+    count2 <= K — CRITICAL for the dense backend's slot expansion,
+    whose global pair buffer holds exactly n*K slots filled in
+    gaussian-index order: unclamped rects overflow the buffer and
+    silently starve every high-index gaussian (seen as whole objects
+    vanishing at 1K resolutions)."""
+    rect_h = count // jnp.maximum(rect_w, 1)
+    w_f = jnp.maximum(rect_w, 1).astype(jnp.float32)
+    h_f = jnp.maximum(rect_h, 1).astype(jnp.float32)
+    ideal_w = jnp.sqrt(K * w_f / h_f)
+    w2 = jnp.clip(jnp.round(ideal_w).astype(jnp.int32), 1,
+                  jnp.minimum(rect_w, K))
+    w2 = jnp.maximum(w2, 1)
+    h2 = jnp.clip(K // w2, 1, jnp.maximum(rect_h, 1))
+    count2 = jnp.where(count > 0, w2 * h2, 0)
+    ct_x = jnp.floor(mean2d[:, 0] / TILE).astype(jnp.int32)
+    ct_y = jnp.floor(mean2d[:, 1] / TILE).astype(jnp.int32)
+    ct_x = jnp.clip(ct_x, tx0, tx0 + jnp.maximum(rect_w - 1, 0))
+    ct_y = jnp.clip(ct_y, ty0, ty0 + jnp.maximum(rect_h - 1, 0))
+    x0 = jnp.clip(ct_x - w2 // 2, tx0, tx0 + jnp.maximum(rect_w - w2, 0))
+    y0 = jnp.clip(ct_y - h2 // 2, ty0, ty0 + jnp.maximum(rect_h - h2, 0))
+    return x0, y0, w2, count2
+
+
 def build_tile_lists(
     proj: ProjectedGaussians,
     image_height: int,
@@ -101,27 +129,30 @@ def build_tile_lists(
     """Bin gaussians into depth-sorted per-tile lists.
 
     Returns (sorted_gauss_idx (P,), tile_start (T+1,), num_tiles, overflow)
-    where `overflow` counts pairs dropped because the pair buffer was
-    full (monitor; grow `pairs_per_gaussian` if nonzero).
+    where `overflow` counts pairs dropped to the per-gaussian K budget
+    or the per-tile cap (monitor; grow `pairs_per_gaussian` if nonzero).
     """
     th, tw = _tile_grid(image_height, image_width)
     num_tiles = th * tw
     n = proj.mean2d.shape[0]
-    p_cap = n * cfg.pairs_per_gaussian
+    K = cfg.pairs_per_gaussian
+    p_cap = n * K
 
     tx0, ty0, rect_w, count = _tile_rects(proj, th, tw)
-    cum = jnp.cumsum(count)  # inclusive
+    x0, y0, w2, count2 = clamp_rect_to_budget(
+        tx0, ty0, rect_w, count, proj.mean2d, K)
+    overflow = jnp.sum(jnp.maximum(count - count2, 0))
+    cum = jnp.cumsum(count2)  # inclusive; total <= p_cap by clamping
     total = cum[-1]
-    overflow = jnp.maximum(total - p_cap, 0)
 
     slots = jnp.arange(p_cap, dtype=jnp.int32)
     g = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
     g = jnp.minimum(g, n - 1)
-    local = slots - (cum[g] - count[g])
-    w_g = jnp.maximum(rect_w[g], 1)
+    local = slots - (cum[g] - count2[g])
+    w_g = jnp.maximum(w2[g], 1)
     dx = local % w_g
     dy = local // w_g
-    tile_id = (ty0[g] + dy) * tw + (tx0[g] + dx)
+    tile_id = (y0[g] + dy) * tw + (x0[g] + dx)
 
     valid_pair = slots < total
     tile_key = jnp.where(valid_pair, tile_id, num_tiles).astype(jnp.int32)

@@ -222,27 +222,14 @@ def build_window_layout(proj: ProjectedGaussians, image_height: int,
             "maps; reduce pairs_per_gaussian or shard the gaussians")
 
     tx0, ty0, rect_w, count = _tile_rects(proj, th, tw)
-    rect_h = count // jnp.maximum(rect_w, 1)
+    # Aspect-balanced truncation of oversized rects (shared with the
+    # dense backend): the dropped tiles are the farthest (weakest)
+    # ones, bounding the quality cost of the static pair budget.
+    from .rasterize import clamp_rect_to_budget
 
-    # Aspect-balanced truncation of oversized rects: the dropped tiles
-    # are the farthest (weakest) ones, bounding the quality cost of
-    # the static per-gaussian pair budget.
-    w_f = jnp.maximum(rect_w, 1).astype(jnp.float32)
-    h_f = jnp.maximum(rect_h, 1).astype(jnp.float32)
-    ideal_w = jnp.sqrt(K * w_f / h_f)
-    w2 = jnp.clip(jnp.round(ideal_w).astype(jnp.int32), 1,
-                  jnp.minimum(rect_w, K))
-    w2 = jnp.maximum(w2, 1)
-    h2 = jnp.clip(K // w2, 1, jnp.maximum(rect_h, 1))
-    count2 = jnp.where(count > 0, w2 * h2, 0)
+    x0, y0, w2, count2 = clamp_rect_to_budget(
+        tx0, ty0, rect_w, count, proj.mean2d, K)
     overflow = jnp.sum(jnp.maximum(count - count2, 0))
-
-    ct_x = jnp.floor(proj.mean2d[:, 0] / TILE).astype(jnp.int32)
-    ct_y = jnp.floor(proj.mean2d[:, 1] / TILE).astype(jnp.int32)
-    ct_x = jnp.clip(ct_x, tx0, tx0 + jnp.maximum(rect_w - 1, 0))
-    ct_y = jnp.clip(ct_y, ty0, ty0 + jnp.maximum(rect_h - 1, 0))
-    x0 = jnp.clip(ct_x - w2 // 2, tx0, tx0 + jnp.maximum(rect_w - w2, 0))
-    y0 = jnp.clip(ct_y - h2 // 2, ty0, ty0 + jnp.maximum(rect_h - h2, 0))
 
     ks = jnp.arange(K, dtype=jnp.int32)[None, :]  # (1, K)
     dxk = ks % w2[:, None]

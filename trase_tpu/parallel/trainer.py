@@ -235,6 +235,7 @@ class ShardedTrainer(Trainer):
     # ------------------------------------------------------------- save
 
     def _postload(self):
+        super()._postload()
         capacity = self.state.params.xyz.shape[0]
         if capacity % self.n_shards:
             new_cap = -(-capacity // self.n_shards) * self.n_shards
