@@ -48,11 +48,24 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the suite's wall-clock on the
+    1-core CI host is dominated by CPU recompiles of the same step
+    functions; with a warm cache the default run drops severalfold."""
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "trase_tpu_test_xla_cache"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                          "1")
+
+
 def pytest_configure(config):
     if _env_ok():
         return
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    _enable_compile_cache()
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -73,6 +86,7 @@ if _env_ok():
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    _enable_compile_cache()
 
     import jax
 

@@ -380,8 +380,12 @@ def test_mask_and_gt_cache_bounded(synth_dir, tmp_path):
 
 
 @pytest.mark.parametrize("deform_type", [
-    "DeformNetwork", "DeformStaticNetwork", "DeformDynamicNetwork",
-    "DeformSemanticNetwork",
+    "DeformNetwork",
+    # non-default variants recompile the full step stack (~50 s each
+    # on the 1-core CI host) — full-suite only
+    pytest.param("DeformStaticNetwork", marks=pytest.mark.slow),
+    pytest.param("DeformDynamicNetwork", marks=pytest.mark.slow),
+    pytest.param("DeformSemanticNetwork", marks=pytest.mark.slow),
 ])
 def test_all_deform_variants_train(synth_dir, tmp_path, deform_type):
     """Every registry variant trains through BOTH phases (the reference's
