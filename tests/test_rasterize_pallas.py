@@ -306,6 +306,80 @@ class TestPallasGradients:
             # suffix accumulation associate sums differently
             assert np.abs(a - b).max() / scale < 3e-4, nm
 
+    def test_zombie_window_grads(self):
+        """Early-termination bookkeeping regression (round-3 NaN bug).
+
+        A deep stack of opaque splats on one tile terminates the
+        forward after its first window while later windows of the SAME
+        tile share a superblock with the NEXT tile's first window. The
+        forward's superblock gate used to force-run those dead "zombie"
+        windows (advancing stop/logt_out) while the fully-dead
+        superblock between them was skipped (its window totals never
+        added to logt). The backward then over-subtracted the missing
+        totals during its log-space transmittance reconstruction,
+        exp()'d a large POSITIVE log, and emitted finite-but-
+        astronomical (~e^40..e^3000) gradients that overflowed Adam's
+        second moment at the next squaring. Discovered on a real
+        1008px training run (grads ~1e27 with a perfectly finite
+        loss); the dense backend is the behavioral oracle here.
+        """
+        H = W = 32  # 2x2 tiles, one group per tile row
+        # tile-0 stack: 21 windows (terminates in window 0); tile-1:
+        # 3 windows. Group-0 total = 24 windows = exactly 3 superblocks
+        # (SUPER=8), so tile-1's FIRST window (w21) gates in superblock
+        # 2 alongside zombie tile-0 windows w16-20, while superblock 1
+        # (w8-15, all dead tile-0) is skipped outright — the exact
+        # bookkeeping mismatch being regression-tested. A tail window
+        # would be processed under the per-window gate and never
+        # trigger it.
+        n0, n1 = 2640, 300
+        assert RP.SUPER == 8, "window layout tuned for SUPER == 8"
+        n = n0 + n1
+        mean2d = np.zeros((n, 2), np.float32)
+        mean2d[:n0] = [8.0, 8.0]  # tile (0, 0) center
+        mean2d[n0:] = [24.0, 8.0]  # tile (1, 0) center
+        depth = np.linspace(1.0, 2.0, n).astype(np.float32)
+        # sigma = 10 px: alpha >= 0.5 over the WHOLE tile, so every
+        # pixel's transmittance dies inside window 0 (early termination
+        # requires max-over-pixels logt < log T_EPS, not just the
+        # center's)
+        conic = np.tile(np.array([[0.01, 0.0, 0.01]], np.float32),
+                        (n, 1))
+        radius = np.full((n,), 3.0, np.float32)
+        color = np.tile(np.array([[0.9, 0.5, 0.1]], np.float32), (n, 1))
+        opac = np.full((n,), 0.95, np.float32)  # T < 1e-4 in 3 pairs
+        proj = P.ProjectedGaussians(
+            mean2d=jnp.asarray(mean2d), depth=jnp.asarray(depth),
+            conic=jnp.asarray(conic), radius=jnp.asarray(radius),
+            color=jnp.asarray(color), opacity=jnp.asarray(opac),
+            valid=jnp.ones((n,), bool))
+        cfg = R.RasterConfig(pairs_per_gaussian=1, max_per_tile=4096,
+                             tile_batch=4)
+        bg = jnp.asarray([0.2, 0.1, 0.4])
+        rng = np.random.default_rng(3)
+        wr = jnp.asarray(rng.normal(size=(3, H, W)), jnp.float32)
+        wa = jnp.asarray(rng.normal(size=(1, H, W)), jnp.float32)
+
+        def loss_fn(raster):
+            def f(mean2d, conic, opa, color):
+                pr = proj._replace(mean2d=mean2d, conic=conic,
+                                   opacity=opa, color=color)
+                out = raster(pr, None, bg, H, W, cfg)
+                return (jnp.sum(out["render"] * wr)
+                        + jnp.sum(out["alpha"] * wa))
+            return f
+
+        args = (proj.mean2d, proj.conic, proj.opacity, proj.color)
+        argnums = (0, 1, 2, 3)
+        gd = jax.grad(loss_fn(R.rasterize_tiled), argnums=argnums)(*args)
+        gp = jax.grad(loss_fn(pallas_raster), argnums=argnums)(*args)
+        for nm, a, b in zip(["mean2d", "conic", "opacity", "color"],
+                            gd, gp):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.isfinite(b).all(), nm
+            scale = np.abs(a).max() + 1e-8
+            assert np.abs(a - b).max() / scale < 3e-4, nm
+
     @pytest.mark.slow
     def test_mean2d_offset_grad_through_render(self):
         """The densification signal (viewspace grad, reference

@@ -147,6 +147,58 @@ def main():
     t["gather_fold_bf16"] = timed(f_gather_bf16, dpay, idx,
                                   iters=args.iters)
 
+    # gather-cost scaling in the row width: is the XLA gather
+    # row-count-bound (per-row loop) or bytes-bound?
+    for w in (8, 16, 24):
+        sub = dpay[:, :w]
+
+        @jax.jit
+        def f_gw(sub, idx, w=w):
+            return sub[jnp.minimum(idx, slot_cap - 1)]
+
+        t[f"gather_w{w}"] = timed(f_gw, sub, idx, iters=args.iters)
+
+    # candidate: f32 rows packed as 2x-bf16 lanes BEFORE the gather
+    # (bitcast pairs of columns into one f32 column) -> gather w/2
+    # columns -> unpack + fold. Exact bf16 rounding like pack_features.
+    @jax.jit
+    def f_gather_packed(dpay, idx):
+        h = f_pad // 2
+        u16 = jax.lax.bitcast_convert_type(
+            dpay.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+        packed = jax.lax.bitcast_convert_type(
+            u16[:, :h] | (u16[:, h:] << 16), jnp.float32)
+        rows = packed[jnp.minimum(idx, slot_cap - 1)]
+        u = jax.lax.bitcast_convert_type(rows, jnp.uint32)
+        lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+        hi = jax.lax.bitcast_convert_type(
+            u & jnp.uint32(0xFFFF0000), jnp.float32)
+        rows2 = jnp.concatenate([lo, hi], axis=1)
+        return jnp.sum(rows2.reshape(n, k, f_pad), axis=1)
+
+    t["gather_fold_pack2"] = timed(f_gather_packed, dpay, idx,
+                                   iters=args.iters)
+
+    # candidate: sort carrying the packed rows as payload columns
+    # (scatter-free permutation; cost scales with payload width)
+    h = f_pad // 2
+    u16 = jax.lax.bitcast_convert_type(
+        dpay.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    packed_cols = tuple(
+        jax.lax.bitcast_convert_type(
+            u16[:, i] | (u16[:, i + h] << 16), jnp.float32)
+        for i in range(h))
+    pid_of_slot = jnp.zeros((slot_cap,), jnp.int32).at[
+        jnp.minimum(slot_of_sorted, slot_cap - 1)].set(sorted_pid)
+
+    @jax.jit
+    def f_sort_payload(pid_of_slot, *cols):
+        out = jax.lax.sort((pid_of_slot,) + cols, num_keys=1)
+        return out[1]
+
+    t["sort_payload24"] = timed(f_sort_payload, pid_of_slot,
+                                *packed_cols, iters=max(args.iters // 2, 2))
+
     print(json.dumps({
         "setting": {"n": n, "k": k, "f_pad": f_pad, "s_cap": int(s_cap),
                     "slot_cap": int(slot_cap),

@@ -489,7 +489,11 @@ class Trainer:
         loss = float(metrics["loss"])
         finite = bool(metrics["finite"])
         if not finite:
-            print("NaN loss detected!!!")
+            # non-finite loss OR post-update state (trainer._all_finite): the
+            # in-graph guard skipped the whole update, so this is one
+            # lost step, not a poisoned run
+            print(f"[ITER {iteration}] non-finite loss/grads "
+                  f"(loss={loss:.6g}) — step skipped")
             # undo the optimistic opt_state.step() for this iteration
             # (the in-graph NaN guard already skipped the param update)
             self.opt_state.iterations = max(

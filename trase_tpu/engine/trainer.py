@@ -130,6 +130,31 @@ def make_learning_rate_schedules(opt_args, spatial_lr_scale: float = 5.0):
     return at
 
 
+def _all_finite(*trees) -> jnp.ndarray:
+    """Scalar bool: every float leaf of every tree is finite.
+
+    Applied to the POST-update state (params, optimizer moments,
+    densify accumulators), not just the loss or the gradients. The
+    reference's NaN guard checks only the loss (train.py:298-301);
+    that is insufficient twice over: (a) a backward-only NaN (finite
+    loss, NaN gradients) flows into the shared deform-MLP weights and
+    silently blanks every subsequent render while the loss stays
+    finite against the background, and (b) finite-but-huge gradients
+    (|g| > ~2e19) overflow f32 when SQUARED in Adam's second moment —
+    nu becomes inf, never decays (b2 * inf = inf), and permanently
+    freezes or NaNs the row. Gating the state COMMIT on the new
+    state's finiteness converts every such failure into one skipped,
+    logged step.
+    """
+    flags = [
+        jnp.all(jnp.isfinite(x))
+        for t in trees
+        for x in jax.tree_util.tree_leaves(t)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+    ]
+    return jnp.stack(flags).all() if flags else jnp.bool_(True)
+
+
 def _where_tree(cond, new_tree, old_tree):
     return jax.tree_util.tree_map(
         lambda n, o: jnp.where(cond, n, o), new_tree, old_tree
@@ -230,7 +255,6 @@ def gaussian_phase_step(
     )(p, state.deform_vars, off)
     gp, gdeform, goff = grads
 
-    finite = jnp.isfinite(loss)
     alive = aux.alive
 
     new_fields = {}
@@ -265,6 +289,8 @@ def gaussian_phase_step(
         camera.image_height, camera.image_width,
     )
 
+    finite = jnp.isfinite(loss) & _all_finite(
+        new_params, new_opt, new_aux, new_deform, new_deform_opt)
     new_state = TrainState(
         params=_where_tree(finite, new_params, p),
         aux=_where_tree(finite, new_aux, aux),
@@ -392,7 +418,6 @@ def feature_phase_step(
     )
     gfeat, goff = grads
 
-    finite = jnp.isfinite(loss)
     new_feat, new_feat_opt = adam_update(
         p.gaussian_features, gfeat, state.opt.gaussian_features,
         lrs.gaussian_features, row_mask=aux.alive,
@@ -405,6 +430,7 @@ def feature_phase_step(
         camera.image_height, camera.image_width,
     )
 
+    finite = jnp.isfinite(loss) & _all_finite(new_params, new_opt, new_aux)
     new_state = TrainState(
         params=_where_tree(finite, new_params, p),
         aux=_where_tree(finite, new_aux, aux),
@@ -526,7 +552,6 @@ def style_phase_step(
     )(p.features_dc, p.features_rest, off)
     g_dc, g_rest, goff = grads
 
-    finite = jnp.isfinite(loss)
     row_mask = aux.alive & style_mask
     new_dc, opt_dc = adam_update(
         p.features_dc, g_dc, state.opt.features_dc,
@@ -542,6 +567,7 @@ def style_phase_step(
         aux, goff, visibility & aux.alive, radii,
         camera.image_height, camera.image_width,
     )
+    finite = jnp.isfinite(loss) & _all_finite(new_params, new_opt, new_aux)
     new_state = state._replace(
         params=_where_tree(finite, new_params, p),
         aux=_where_tree(finite, new_aux, aux),

@@ -209,7 +209,10 @@ def add_densification_stats(
     g = viewspace_grad * jnp.array(
         [image_width / 2.0, image_height / 2.0], viewspace_grad.dtype
     )
-    norm = jnp.linalg.norm(g, axis=-1)
+    # hypot, not sqrt(x^2+y^2): squaring overflows f32 for finite
+    # |g| > ~1.8e19 and a single inf here poisons the accumulator
+    # (and with it the densify gate) for the rest of the run
+    norm = jnp.hypot(g[..., 0], g[..., 1])
     return aux._replace(
         xyz_gradient_accum=jnp.where(
             visibility, aux.xyz_gradient_accum + norm, aux.xyz_gradient_accum

@@ -623,12 +623,22 @@ def _fwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
                 stop_out[0, tx] = (jnp.ones((8, 1), jnp.float32)
                                    * (w + 1))
 
-        if guarded:
+        # Per-window liveness gate, applied EVEN inside a gated-in
+        # superblock (`guarded` only means the superblock gate passed —
+        # e.g. because a later window in it opens a new tile). Running a
+        # dead window's math would contribute exactly nothing (all its
+        # weights are zeroed by the hard T_EPS cutoff) but would advance
+        # stop_out/logt_out past windows whose totals were never added
+        # to logt (their whole superblock was skipped) — the backward's
+        # log-space transmittance reconstruction then over-subtracts
+        # those totals, exp()s a large POSITIVE log, and emits
+        # finite-but-astronomical (~e^40) gradients. Gating here keeps
+        # the live window set a contiguous prefix [first, stop), which
+        # is exactly what the backward assumes.
+        del guarded
+        @pl.when(jnp.max(logt[...]) >= LOG_T_EPS)
+        def _():
             math()
-        else:
-            @pl.when(jnp.max(logt[...]) >= LOG_T_EPS)
-            def _():
-                math()
 
     def sb_gate(w0):
         # run the superblock if any window opens a new tile or the

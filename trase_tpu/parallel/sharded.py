@@ -396,7 +396,6 @@ def make_sharded_gaussian_step(
         # the replicated deform MLP needs the cross-shard sum
         gdeform = jax.lax.psum(gdeform, AXIS)
 
-        finite = jnp.isfinite(loss)
         alive = aux.alive
         new_fields, new_opt_fields = {}, {}
         for name, lr in (
@@ -429,6 +428,15 @@ def make_sharded_gaussian_step(
         new_aux = G.add_densification_stats(
             aux, goff, vis_local & alive, radii_local, H, W)
 
+        # Gate the COMMIT on the post-update state's finiteness (see
+        # trainer._all_finite: catches backward-only NaNs AND Adam
+        # nu overflow from finite-but-huge grads). The flag must be
+        # globally consistent — most new leaves are shard-local, and a
+        # shard-local skip would diverge the replicated deform vars.
+        from ..engine.trainer import _all_finite
+        finite = jnp.isfinite(loss) & _all_finite(
+            new_params, new_opt, new_aux, new_deform, new_deform_opt)
+        finite = jax.lax.pmin(finite.astype(jnp.int32), AXIS).astype(bool)
         cond = lambda n, o: jnp.where(finite, n, o)  # noqa: E731
         tm = jax.tree_util.tree_map
         new_state = TrainState(
@@ -686,7 +694,6 @@ def make_sharded_feature_step(
                 p.gaussian_features, off))
         gfeat, goff = grads
 
-        finite = jnp.isfinite(loss)
         new_feat, new_feat_opt = adam_update(
             p.gaussian_features, gfeat, state.opt.gaussian_features,
             lrs.gaussian_features, row_mask=aux.alive)
@@ -700,6 +707,12 @@ def make_sharded_feature_step(
         new_aux = G.add_densification_stats(
             aux, goff, vis_local & aux.alive, radii_local, H, W)
 
+        # commit gate on post-update finiteness, globally agreed (see
+        # the gaussian step above / trainer._all_finite)
+        from ..engine.trainer import _all_finite
+        finite = jnp.isfinite(loss) & _all_finite(
+            new_params, new_opt, new_aux)
+        finite = jax.lax.pmin(finite.astype(jnp.int32), AXIS).astype(bool)
         cond = lambda n, o: jnp.where(finite, n, o)  # noqa: E731
         tm = jax.tree_util.tree_map
         new_state = TrainState(
