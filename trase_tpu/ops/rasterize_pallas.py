@@ -655,14 +655,22 @@ def _fwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
 
 
 def _span_walk_rev(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
-                   tsem, process, sb_gate=None):
+                   tsem, process, sb_gate=None, sb_open=None,
+                   sb_close=None):
     """Reverse-order twin of _span_walk: visits windows [w_lo, w_hi)
     in strictly DECREASING order (tail remainder first, then
     superblocks back-to-front, windows within each superblock
     reversed), with the same aligned-span double-buffered DMA scheme.
     `sb_gate(w0)` (optional) decides once per superblock whether its
     windows run at all — callers gate on the per-tile stop map, so a
-    skipped superblock touches no state."""
+    skipped superblock touches no state.
+
+    `sb_open(w0)` / `sb_close(w0)` (optional) bracket each PROCESSED
+    batch — the tail (as one batch based at the tail start) and each
+    gated-in superblock — so the caller can stage per-batch output.
+    `process(get_block, w, guarded, j)` receives the window's section
+    index j within its batch (a python int for superblock windows, a
+    traced value for tail windows; both valid in pl.ds offsets)."""
     nsb = (w_hi - w_lo) // SUPER
 
     def base_of(w):
@@ -679,21 +687,31 @@ def _span_walk_rev(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
             tbuf, tsem)
 
     n_tail = w_hi - (w_lo + nsb * SUPER)
+    tail_start = w_lo + nsb * SUPER
 
-    def tail_body(i, carry):
-        w = w_hi - 1 - i
-        tdma(w).start()
-        tdma(w).wait()
+    @pl.when(n_tail > 0)
+    def _():
+        if sb_open is not None:
+            sb_open(tail_start)
 
-        def get_block(w=w):
-            off_l = woff_ref[w] - base_of(w)
-            shift = jax.lax.rem(2 * PAIR_CHUNK - off_l, 2 * PAIR_CHUNK)
-            return pltpu.roll(tbuf[...], shift, axis=1)[:, :PAIR_CHUNK]
+        def tail_body(i, carry):
+            w = w_hi - 1 - i
+            tdma(w).start()
+            tdma(w).wait()
 
-        process(get_block, w, False)
-        return carry
+            def get_block(w=w):
+                off_l = woff_ref[w] - base_of(w)
+                shift = jax.lax.rem(2 * PAIR_CHUNK - off_l,
+                                    2 * PAIR_CHUNK)
+                return pltpu.roll(tbuf[...], shift,
+                                  axis=1)[:, :PAIR_CHUNK]
 
-    jax.lax.fori_loop(0, n_tail, tail_body, 0)
+            process(get_block, w, False, w - tail_start)
+            return carry
+
+        jax.lax.fori_loop(0, n_tail, tail_body, 0)
+        if sb_close is not None:
+            sb_close(tail_start)
 
     @pl.when(nsb > 0)
     def _():
@@ -712,6 +730,8 @@ def _span_walk_rev(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
             base = base_of(w0)
 
             def run_all(guarded):
+                if sb_open is not None:
+                    sb_open(w0)
                 for j in range(SUPER - 1, -1, -1):
                     w = w0 + j
 
@@ -721,7 +741,9 @@ def _span_walk_rev(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
                         return pltpu.roll(pbuf[slot], shift,
                                           axis=1)[:, :PAIR_CHUNK]
 
-                    process(get_block, w, guarded)
+                    process(get_block, w, guarded, j)
+                if sb_close is not None:
+                    sb_close(w0)
 
             if sb_gate is None:
                 run_all(False)
@@ -739,7 +761,7 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
                       dpay_hbm, pbuf, psem, obuf, osem, tbuf, tsem,
                       logtc, rcarry, state, *, n_val: int, tw: int,
                       gxn: int, num_tiles: int, f_pad: int,
-                      n_packed: int = 0):
+                      n_packed: int = 0, emit_grads: bool = True):
     """Backward over one tile group: ONE reverse superblocked pass.
 
     Walks the group's windows last-to-first. On first (reverse) visit
@@ -751,13 +773,23 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
     Windows at/after the tile's stop (stop_ref, forward early-
     termination point) have exactly zero gradient under the hard T_EPS
     cutoff and are skipped wholesale — their slots stay at the
-    pre-zeroed (input_output_aliased) output's value. Gradient blocks
-    land kernel-native (f_pad, 128) at their aligned window blocks;
-    _transpose_slots relayouts them row-major afterwards so the
-    un-sort is a row gather.
+    pre-zeroed (input_output_aliased) output's value.
 
-    state (SMEM): [0] = next obuf slot, [1]/[2] = in-flight block of
-    slot 0/1 (-1 none), [3] = tile currently being walked (-1 none).
+    Output staging is BATCHED per walker superblock: each processed
+    batch accumulates its SUPER windows' kernel-native (f_pad, 128)
+    blocks in a zeroed (SUPER * f_pad, 128) buffer and emits ONE DMA
+    (a ~13k-window frame used to issue ~13k 8 KB DMAs — pure issue /
+    wait overhead). The tail batch always writes full SUPER-window
+    spans: the overrun rows beyond the group's last window carry
+    zeros, land in the NEXT group's territory (or the staging pad of
+    the final group), and are correct either way — grid steps run in
+    ascending group order, so a later group's own batches overwrite
+    them, and rows of superblocks the later group SKIPS must be zero
+    anyway. _transpose_slots relayouts the staging array row-major
+    afterwards so the un-sort is a row gather.
+
+    state (SMEM): [0] = next obuf slot, [1]/[2] = in-flight batch base
+    window of slot 0/1 (-1 none), [3] = tile currently walked (-1).
     """
     del zeros_ref  # aliases dpay_hbm; pre-zeroed by the caller
     gi = pl.program_id(0)
@@ -773,17 +805,33 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
     basis_t = _monomial_basis_t()
     last = PAIR_CHUNK - 1
 
-    def odma(slot, blk):
+    def odma(slot, w0):
         return pltpu.make_async_copy(
             obuf.at[slot],
-            dpay_hbm.at[pl.ds(blk * f_pad, f_pad), :],
+            dpay_hbm.at[pl.ds(w0 * f_pad, SUPER * f_pad), :],
             osem.at[slot])
+
+    def sb_open(w0):
+        del w0
+        os = state[0]
+        if emit_grads:
+            @pl.when(state[1 + os] >= 0)
+            def _():
+                odma(os, state[1 + os]).wait()
+        obuf[os] = jnp.zeros(obuf.shape[1:], obuf.dtype)
+
+    def sb_close(w0):
+        if emit_grads:  # False = DMA-cost ablation (tools/probe_bwd_kernel)
+            os = state[0]
+            odma(os, w0).start()
+            state[1 + os] = w0
+            state[0] = 1 - os
 
     def stop_of(w):
         mt = metat_ref[w]
         return stop_ref[gi * TILE + ((mt >> 9) - tile_lo)]
 
-    def process(get_block, w, guarded):
+    def process(get_block, w, guarded, j):
         mt = metat_ref[w]
         t = mt >> 9
         cnt = mt & 255
@@ -791,12 +839,6 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
 
         @pl.when(w < stop_ref[gi * TILE + tx])
         def _():
-            os = state[0]
-
-            @pl.when(state[1 + os] >= 0)
-            def _():
-                odma(os, state[1 + os]).wait()
-
             @pl.when(t != state[3])
             def _():
                 logtc[...] = logt_ref[0, tx]
@@ -854,14 +896,13 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
             if pad_rows:
                 parts.append(jnp.zeros((pad_rows, PAIR_CHUNK),
                                        jnp.float32))
-            # kernel-native (f_pad, chunk) block; DMA'd as f_pad rows of
-            # the (s_cap * f_pad, 128) staging array (sub-128-lane VMEM
-            # can never be a DMA party, so the row-major relayout
-            # happens in _transpose_slots, a separate Pallas pass)
-            obuf[os] = jnp.concatenate(parts, axis=0)
-            odma(os, w).start()
-            state[1 + os] = w
-            state[0] = 1 - os
+            # kernel-native (f_pad, chunk) block staged at batch
+            # section j; the whole batch DMAs as SUPER * f_pad rows of
+            # the staging array at sb_close (sub-128-lane VMEM can
+            # never be a DMA party, so the row-major relayout happens
+            # in _transpose_slots, a separate Pallas pass)
+            obuf[state[0], pl.ds(j * f_pad, f_pad), :] = (
+                jnp.concatenate(parts, axis=0))
             rcarry[...] = rcarry[...] + s_tot
             logtc[...] = t_start_log
 
@@ -872,7 +913,8 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
         return any_run
 
     _span_walk_rev(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
-                   tsem, process, sb_gate)
+                   tsem, process, sb_gate, sb_open=sb_open,
+                   sb_close=sb_close)
 
     for s in range(2):
         @pl.when(state[1 + s] >= 0)
@@ -963,7 +1005,7 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
 
 def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
                    n_val, interpret, g_lo=None, rows_local=None,
-                   n_packed=0):
+                   n_packed=0, emit_grads=True):
     """Gradient kernel: (slot_cap, f_pad) ROW-MAJOR per-slot gradients.
 
     logt_stop / stop are the forward's per-tile residuals (local to
@@ -992,9 +1034,12 @@ def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
     slot_cap = s_cap * PAIR_CHUNK
     stop_flat = stop[:, :, 0, 0].astype(jnp.int32).reshape(-1)
     # row-major (slot_cap, f_pad) gradients, stored 128-lane-aligned as
-    # (s_cap * f_pad, 128) — the kernel writes f_pad-row blocks whose
-    # flat bytes are each window's (128 slots, f_pad) block
-    zeros_dpay = jnp.zeros((s_cap * f_pad, PAIR_CHUNK), jnp.float32)
+    # (s_cap * f_pad, 128) — the kernel writes SUPER-window batch
+    # blocks whose flat bytes are each window's (128 slots, f_pad)
+    # block. SUPER extra window rows of staging pad absorb the last
+    # group's full-span tail batch overrun (always zeros there).
+    s_pad = s_cap + SUPER
+    zeros_dpay = jnp.zeros((s_pad * f_pad, PAIR_CHUNK), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(ngroups,),
@@ -1012,7 +1057,8 @@ def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
         scratch_shapes=[
             pltpu.VMEM((2, f_in, SPAN), jnp.float32),  # pbuf
             pltpu.SemaphoreType.DMA((2,)),  # psem
-            pltpu.VMEM((2, f_pad, PAIR_CHUNK), jnp.float32),  # obuf
+            pltpu.VMEM((2, SUPER * f_pad, PAIR_CHUNK),
+                       jnp.float32),  # obuf (one batch per slot)
             pltpu.SemaphoreType.DMA((2,)),  # osem
             pltpu.VMEM((f_in, 2 * PAIR_CHUNK), jnp.float32),  # tail
             pltpu.SemaphoreType.DMA(()),  # tail sem
@@ -1023,10 +1069,11 @@ def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
     )
     kernel = functools.partial(_bwd_group_kernel, n_val=n_val, tw=tw,
                                gxn=gxn, num_tiles=num_tiles,
-                               f_pad=f_pad, n_packed=n_packed)
+                               f_pad=f_pad, n_packed=n_packed,
+                               emit_grads=emit_grads)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((s_cap * f_pad, PAIR_CHUNK),
+        out_shape=jax.ShapeDtypeStruct((s_pad * f_pad, PAIR_CHUNK),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -1039,7 +1086,7 @@ def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
             has_side_effects=True),
     )(goff, gs, layout.meta_t, layout.win_off, stop_flat, ps_t, g,
       logt_stop, zeros_dpay)
-    return _transpose_slots(out, s_cap, f_pad, interpret=interpret)
+    return _transpose_slots(out, s_pad, f_pad, interpret=interpret)
 
 
 _TRANS_B = 8  # windows per transpose grid step
