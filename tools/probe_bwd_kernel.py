@@ -133,7 +133,7 @@ def main(argv=None):
         "setting": {"n": n, "H": H, "W": W, "k": args.k,
                     "n_val": n_val, "f_pad": f_pad,
                     "total_win": total_win, "processed_win": processed,
-                    "overflow": float(overflow)},
+                    "overflow": float(overflow[0])},
         "ms": {k: round(v, 2) for k, v in t.items()},
         "derived": {
             "odma_ms": round(t["bwd_full"] - t["bwd_no_odma"], 2),

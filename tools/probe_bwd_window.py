@@ -189,7 +189,7 @@ def main(argv=None):
     ps_t = jax.jit(RP._gather_pairs)(payload, sorted_pid)
     patches, logt_stop, stop = fwd(ps_t)
     loss, gpatches = jax.jit(jax.value_and_grad(assemble_loss))(patches)
-    print(f"loss={float(loss):.6f} overflow={float(overflow):.1f}")
+    print(f"loss={float(loss):.6f} overflow={float(overflow[0]):.1f}")
 
     dpay = jax.jit(lambda *a: RP._backward_impl(
         *a, num_tiles=num_tiles, tw=tw, n_val=n_val, interpret=False))(

@@ -248,11 +248,12 @@ def gaussian_phase_step(
         if use_deform and lambda_reg_deform > 0:
             loss = loss + lambda_reg_deform * jnp.abs(d_xyz).mean()
         return loss, (ll1, out["radii"], out["visibility_filter"],
-                      out["overflow"])
+                      out["overflow"], out["overflow_half"])
 
-    (loss, (ll1, radii, visibility, overflow)), grads = jax.value_and_grad(
-        loss_fn, argnums=(0, 1, 2), has_aux=True
-    )(p, state.deform_vars, off)
+    (loss, (ll1, radii, visibility, overflow, overflow_half)), grads = \
+        jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(p, state.deform_vars, off)
     gp, gdeform, goff = grads
 
     alive = aux.alive
@@ -299,7 +300,7 @@ def gaussian_phase_step(
         deform_opt=_where_tree(finite, new_deform_opt, state.deform_opt),
     )
     metrics = {"loss": loss, "l1": ll1, "finite": finite,
-               "overflow": overflow}
+               "overflow": overflow, "overflow_half": overflow_half}
     return new_state, metrics
 
 
@@ -409,9 +410,10 @@ def feature_phase_step(
             (pair & (C == 0)).sum(), 1)
         return loss, (out["radii"], out["visibility_filter"],
                       rendered_feature_norm, pos_sim, neg_sim,
-                      out["overflow"])
+                      out["overflow"], out["overflow_half"])
 
-    (loss, (radii, visibility, rf_norm, pos_sim, neg_sim, overflow)), grads = (
+    (loss, (radii, visibility, rf_norm, pos_sim, neg_sim, overflow,
+            overflow_half)), grads = (
         jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
             p.gaussian_features, off
         )
@@ -439,7 +441,8 @@ def feature_phase_step(
         deform_opt=state.deform_opt,
     )
     metrics = {"loss": loss, "finite": finite, "rfn": rf_norm,
-               "pos_sim": pos_sim, "neg_sim": neg_sim, "overflow": overflow}
+               "pos_sim": pos_sim, "neg_sim": neg_sim,
+               "overflow": overflow, "overflow_half": overflow_half}
     return new_state, metrics
 
 

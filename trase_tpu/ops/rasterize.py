@@ -298,6 +298,9 @@ def rasterize_tiled(
         "depth": out[-1:],
         "alpha": acc[None],
         "overflow": overflow,
+        # K//2 would-drop prediction exists only on the pallas path;
+        # -1 disables the trainer's pair-budget de-escalation here
+        "overflow_half": jnp.float32(-1.0),
     }
     if extra_channels is not None:
         result["feats"] = out[3:-1]

@@ -191,7 +191,7 @@ def build_window_layout(proj: ProjectedGaussians, image_height: int,
     by the backward and dead-code-eliminated in inference jits.
 
     Returns (sorted_pid (nk,), slot_of_sorted (nk,), WindowLayout,
-    overflow).
+    overflow (2,) = [dropped at K, would-drop at K//2]).
     """
     chunk = PAIR_CHUNK
     th, tw = _tile_grid(image_height, image_width)
@@ -229,7 +229,18 @@ def build_window_layout(proj: ProjectedGaussians, image_height: int,
 
     x0, y0, w2, count2 = clamp_rect_to_budget(
         tx0, ty0, rect_w, count, proj.mean2d, K)
-    overflow = jnp.sum(jnp.maximum(count - count2, 0))
+    # overflow[0] = pairs dropped at the configured budget K;
+    # overflow[1] = pairs that WOULD drop at K//2 (exact, through the
+    # same aspect-balanced clamp) — the trainer's pair-budget
+    # de-escalation reads it to shrink K without thrash after
+    # densification has shrunk per-gaussian tile coverage.
+    k_half = max(K // 2, 1)
+    _, _, _, count2h = clamp_rect_to_budget(
+        tx0, ty0, rect_w, count, proj.mean2d, k_half)
+    overflow = jnp.stack([
+        jnp.sum(jnp.maximum(count - count2, 0)).astype(jnp.float32),
+        jnp.sum(jnp.maximum(count - count2h, 0)).astype(jnp.float32),
+    ])
 
     ks = jnp.arange(K, dtype=jnp.int32)[None, :]  # (1, K)
     dxk = ks % w2[:, None]
@@ -1319,7 +1330,8 @@ def rasterize_tiled_pallas(
         "render": rgb.transpose(2, 0, 1),
         "depth": hwc[..., -1][None],
         "alpha": acc[None],
-        "overflow": overflow,
+        "overflow": overflow[0],
+        "overflow_half": overflow[1],
     }
     if extra_channels is not None:
         # hwc is the kernel-native layout; the CHW transpose costs

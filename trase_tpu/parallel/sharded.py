@@ -183,7 +183,10 @@ def _composite_my_tiles(proj, extra, bg_color, H, W, cfg: RT.RasterConfig,
 
     rgb = out[:3] + (1.0 - acc)[None] * bg_color[:, None, None]
     result = {"render": rgb, "depth": out[-1:], "alpha": acc[None],
-              "overflow": overflow}
+              "overflow": overflow,
+              # K//2 would-drop prediction exists only on the pallas
+              # path; -1 disables the trainer's de-escalation here
+              "overflow_half": jnp.float32(-1.0)}
     if extra is not None:
         result["feats"] = out[3:-1]
     return result
@@ -230,7 +233,8 @@ def _composite_my_rows_pallas(proj, extra, bg_color, H, W,
     result = {"render": rgb.transpose(2, 0, 1),
               "depth": hwc[..., -1][None],
               "alpha": acc[None],
-              "overflow": overflow}
+              "overflow": overflow[0],
+              "overflow_half": overflow[1]}
     if extra is not None:
         result["feats"] = hwc[..., 4:-1].transpose(2, 0, 1)
         result["feats_hwc"] = hwc[..., 4:-1]
@@ -386,9 +390,11 @@ def make_sharded_gaussian_step(
                 n_elem = d_xyz.size * n_shards
                 reg = jax.lax.psum(jnp.abs(d_xyz).sum(), AXIS) / n_elem
                 loss = loss + lambda_reg_deform * reg
-            return loss, (ll1, out["overflow"], proj.radius)
+            return loss, (ll1, out["overflow"], out["overflow_half"],
+                          proj.radius)
 
-        (loss, (ll1, overflow, radii_full)), grads = jax.value_and_grad(
+        (loss, (ll1, overflow, overflow_half, radii_full)), grads = \
+            jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True
         )(p, state.deform_vars, off)
         gp, gdeform, goff = grads
@@ -447,7 +453,8 @@ def make_sharded_gaussian_step(
             deform_opt=tm(cond, new_deform_opt, state.deform_opt),
         )
         metrics = {"loss": loss, "l1": ll1, "finite": finite,
-                   "overflow": overflow}
+                   "overflow": overflow,
+                   "overflow_half": overflow_half}
         return new_state, metrics
 
     def specs_for_state(state: TrainState) -> TrainState:
@@ -471,7 +478,7 @@ def make_sharded_gaussian_step(
                       lr_specs, P()),
             out_specs=(in_state_specs,
                        {"loss": P(), "l1": P(), "finite": P(),
-                        "overflow": P()}),
+                        "overflow": P(), "overflow_half": P()}),
             check_vma=False,
         )
         return jax.jit(fn)
@@ -687,9 +694,10 @@ def make_sharded_feature_step(
             neg = negative_pixel_pair_loss[contrastive_mode](
                 C, C_F, sample, negative_th=negative_th, weights=weights)
             loss = pos + neg + rfn * rfn_reg
-            return loss, (proj.radius, rf_norm, out["overflow"])
+            return loss, (proj.radius, rf_norm, out["overflow"],
+                          out["overflow_half"])
 
-        (loss, (radii_full, rf_norm, overflow)), grads = (
+        (loss, (radii_full, rf_norm, overflow, overflow_half)), grads = (
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 p.gaussian_features, off))
         gfeat, goff = grads
@@ -723,7 +731,8 @@ def make_sharded_feature_step(
             deform_opt=state.deform_opt,
         )
         metrics = {"loss": loss, "finite": finite, "rfn": rf_norm,
-                   "overflow": overflow}
+                   "overflow": overflow,
+                   "overflow_half": overflow_half}
         return new_state, metrics
 
     def specs_for_state(state: TrainState) -> TrainState:
@@ -747,7 +756,7 @@ def make_sharded_feature_step(
                       lr_specs, P(), P(AXIS)),
             out_specs=(in_state_specs,
                        {"loss": P(), "finite": P(), "rfn": P(),
-                        "overflow": P()}),
+                        "overflow": P(), "overflow_half": P()}),
             check_vma=False,
         )
         return jax.jit(fn)

@@ -184,6 +184,9 @@ def render(
         "depth": out["depth"],
         "alpha": out["alpha"],
         "overflow": out["overflow"],
+        # would-drop count at K//2 (pallas backend only): feeds the
+        # trainer's pair-budget de-escalation; -1 = not available
+        "overflow_half": out.get("overflow_half", jnp.float32(-1.0)),
     }
     if with_features:
         result["render_gaussian_features"] = out["feats"]
