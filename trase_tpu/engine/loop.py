@@ -124,6 +124,11 @@ class Trainer:
         self.max_pairs_per_gaussian = int(
             getattr(opt_args, "max_pairs_per_gaussian", 32))
         self._overflow_strikes = 0
+        # de-escalation bookkeeping: never drop K below what the user
+        # configured, and only after a sustained clean streak
+        self._initial_pairs_per_gaussian = \
+            self.raster_cfg.pairs_per_gaussian
+        self._deescalate_clean = 0
         self._pending_metrics = None
         self._last_consume_t = None
         self._n_alive_cache = int(G.num_alive(self.state.aux))
@@ -321,7 +326,8 @@ class Trainer:
     def _reset_opacity(self):
         self.state = T.reset_opacity_step(self.state)
 
-    def _handle_overflow(self, iteration: int, dropped: float):
+    def _handle_overflow(self, iteration: int, dropped: float,
+                         dropped_half: float = -1.0):
         """Pair-budget truncation guard: the reference rasterizer has
         unbounded per-gaussian tile coverage; ours trades a static K
         pair budget (RasterConfig.pairs_per_gaussian) for TPU-static
@@ -329,7 +335,13 @@ class Trainer:
         negligible, and after two consecutive strikes double K toward
         the reference's unbounded-coverage semantics (one retrace of
         the jitted steps; the sharded trainer's step cache keys include
-        raster_cfg so its steps rebuild too)."""
+        raster_cfg so its steps rebuild too). `dropped_half` is the
+        pallas kernel's would-drop count at K//2 (-1 when the backend
+        doesn't report it): when an escalated K would still drop
+        nothing at half budget for 10 consecutive checks, K halves
+        back toward (never below) the configured starting budget —
+        escalations triggered by a transient (pre-prune densify spike)
+        are pure sort/gather waste afterwards."""
         total = max(float(self._n_alive_cache)
                     * self.raster_cfg.pairs_per_gaussian, 1.0)
         frac = dropped / total
@@ -337,7 +349,21 @@ class Trainer:
             self.tb.scalar("overflow/dropped_pairs", dropped, iteration)
         if frac <= self.overflow_warn_frac:
             self._overflow_strikes = 0
+            k = self.raster_cfg.pairs_per_gaussian
+            if dropped_half == 0.0 and \
+                    k > self._initial_pairs_per_gaussian:
+                self._deescalate_clean += 1
+                if self._deescalate_clean >= 10:
+                    self.raster_cfg = self.raster_cfg._replace(
+                        pairs_per_gaussian=k // 2)
+                    self._deescalate_clean = 0
+                    print(f"[ITER {iteration}] pair budget "
+                          f"de-escalated: K={k} -> {k // 2} (no drops "
+                          f"at K//2 for 10 consecutive checks)")
+            else:
+                self._deescalate_clean = 0
             return
+        self._deescalate_clean = 0
         print(f"[ITER {iteration}] WARNING: pair budget overflow "
               f"{dropped:.0f} dropped pairs ({frac:.1%} of budget) — "
               f"raise --pairs_per_gaussian (K="
@@ -386,6 +412,19 @@ class Trainer:
                 self.active_sh_degree += 1
 
             if iteration >= opt.warm_up_3d_features and has_masks:
+                # consume the previous step's metrics BEFORE the switch
+                # decision when a switch would fire: a non-finite step
+                # landing exactly at the boundary retro-corrects the
+                # optimistic counter, which must happen before
+                # `iterations > max_iterations` is evaluated or the
+                # phase flips one step early (one extra host sync per
+                # ~iterative_opt_interval steps, off the hot path)
+                if (self._pending_metrics is not None
+                        and self.opt_state.iterations
+                        > self.opt_state.max_iterations):
+                    self._consume_metrics(*self._pending_metrics,
+                                          iter_bar=iter_bar)
+                    self._pending_metrics = None
                 if self.opt_state.switch():
                     viewpoint_stack = list(train_cams)
                     if self.opt_state.state == T.FEATURE:
@@ -501,7 +540,9 @@ class Trainer:
         else:
             self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
         if "overflow" in metrics and iteration % 100 == 0:
-            self._handle_overflow(iteration, float(metrics["overflow"]))
+            self._handle_overflow(
+                iteration, float(metrics["overflow"]),
+                float(metrics.get("overflow_half", -1.0)))
         if "pos_sim" in metrics:
             self.ema_pos = 0.4 * float(metrics["pos_sim"]) + \
                 0.6 * self.ema_pos
@@ -650,7 +691,7 @@ class Trainer:
         """
         leaves = jax.tree_util.tree_flatten_with_path(state)[0]
         return [(jax.tree_util.keystr(p),
-                 str(np.asarray(x).dtype) if hasattr(x, "dtype") else
+                 str(x.dtype) if hasattr(x, "dtype") else
                  type(x).__name__)
                 for p, x in leaves]
 

@@ -76,6 +76,10 @@ class VGGFeatureExtractor:
                 raise ValueError(f"Invalid layer name: {name}")
             op, b, j = m.group(1), int(m.group(2)) - 1, m.group(3)
             if j is not None:
+                if int(j) - 1 >= len(blocks[b]):
+                    raise ValueError(
+                        f"Invalid layer name: {name} (block "
+                        f"{b + 1} has only {len(blocks[b])} convs)")
                 needed.add((op, b, int(j) - 1))
             else:
                 needed.update((op, b, jj) for jj in range(len(blocks[b])))
