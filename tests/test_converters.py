@@ -199,3 +199,59 @@ def test_immersive_converter(tmp_path):
     assert len(fids) == N_FRAMES and fids[0] == 0.0
     c0 = info.train_cameras[0]
     assert c0.image.size == (W, H) or c0.width == W
+
+
+@pytest.mark.slow
+def test_neu3d_converter_to_training_pipeline(tmp_path):
+    """The full L7 -> L4 -> L5 chain as ONE pipeline (VERDICT r3 item
+    6): synthetic multi-view videos + LLFF poses -> neu3d2blender
+    conversion -> transforms_{train,test}.json -> Scene reader -> a
+    50-iteration two-phase training run -> snapshot + finite eval.
+    Mirrors reference neu3d2blender.py -> scene/dataset_readers.py:238-
+    388 -> train.py run on a real Neu3D download."""
+    import neu3d2blender
+
+    scene_dir = tmp_path / "flame_toy"
+    scene_dir.mkdir()
+    eyes = [np.array([0, 0, 4.0]), np.array([1.2, 0.2, 3.8]),
+            np.array([-1.2, -0.2, 3.8]), np.array([0.6, -0.4, 3.9])]
+    for i, _ in enumerate(eyes):
+        _write_video(str(scene_dir / f"cam{i:02d}.mp4"), seed=i)
+    pb = np.array([_llff_pose_row(e) for e in eyes])
+    np.save(str(scene_dir / "poses_bounds.npy"), pb)
+
+    neu3d2blender.main(["--path", str(scene_dir), "--random_points"])
+
+    from trase_tpu.config import (
+        ModelParams, OptimizationParams, PipelineParams,
+    )
+    from trase_tpu.data.scene import Scene
+    from trase_tpu.engine.loop import Trainer
+    from trase_tpu.models import gaussians as G
+    from trase_tpu.ops.rasterize import RasterConfig
+
+    model_dir = str(tmp_path / "model")
+    dataset = ModelParams(source_path=str(scene_dir),
+                          model_path=model_dir, eval=True, sh_degree=1)
+    opt = OptimizationParams(
+        iterations=50, warm_up=10, warm_up_3d_features=30,
+        iterative_opt_interval=10, densify_from_iter=15,
+        densify_until_iter=40, densification_interval=20,
+        opacity_reset_interval=100_000, position_lr_max_steps=50,
+        deform_lr_max_steps=50)
+    sc = Scene(dataset, resolution_scales=(1.0,))
+    trainer = Trainer(dataset, opt, PipelineParams(), sc,
+                      raster_cfg=RasterConfig(pairs_per_gaussian=4,
+                                              max_per_tile=256),
+                      max_new_per_densify=256, seed=0)
+    losses = []
+    trainer.train(first_iter=0, saving_iterations={50},
+                  testing_iterations={50}, progress=False,
+                  on_iteration=lambda tr, it, m: losses.append(
+                      float(m["loss"])))
+    assert len(losses) == 50 and np.isfinite(losses).all()
+    assert np.isfinite(trainer.evaluate(50))
+    assert int(G.num_alive(trainer.state.aux)) > 0
+    ply = os.path.join(model_dir, "point_cloud", "iteration_50",
+                       "point_cloud.ply")
+    assert os.path.exists(ply)
