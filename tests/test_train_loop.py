@@ -158,6 +158,14 @@ def test_train_loop_smoke(synth_dir, tmp_path):
     opt.densify_until_iter = 0  # no densify compile
     cfg = RasterConfig(pairs_per_gaussian=4, max_per_tile=128,
                        tile_batch=4)
+    # Scene shuffles cameras with the GLOBAL random module (reference
+    # scene/__init__.py:91 under safe_state's random.seed(0); our
+    # train.py seeds the same way). Earlier tests in a full-suite run
+    # consume global-random state, which reorders the 8 sampled views
+    # and flips the marginal loss-decrease assertion below — pin it.
+    import random
+
+    random.seed(0)
     tr = Trainer(args, opt, _Pipe(), scene := Scene(
         args, resolution_scales=(1.0,)), raster_cfg=cfg)
 
