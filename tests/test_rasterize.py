@@ -103,7 +103,10 @@ class TestReferenceCompositor:
 
 
 class TestTiledVsReference:
-    @pytest.mark.parametrize("n,H,W,seed", [(50, 48, 64, 1), (200, 40, 40, 2)])
+    @pytest.mark.parametrize("n,H,W,seed", [
+        (50, 48, 64, 1),
+        pytest.param(200, 40, 40, 2, marks=pytest.mark.slow),
+    ])
     def test_match(self, n, H, W, seed):
         cam = make_camera(H, W)
         means, scales, quats, colors, opac, feats = random_scene(n, seed)

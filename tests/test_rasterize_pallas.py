@@ -23,7 +23,10 @@ def pallas_raster(proj, extra, bg, H, W, cfg=CFG):
 
 
 class TestPallasForward:
-    @pytest.mark.parametrize("n,H,W,seed", [(50, 48, 64, 1), (200, 40, 40, 2)])
+    @pytest.mark.parametrize("n,H,W,seed", [
+        (50, 48, 64, 1),
+        pytest.param(200, 40, 40, 2, marks=pytest.mark.slow),
+    ])
     def test_matches_dense(self, n, H, W, seed):
         cam = make_camera(H, W)
         means, scales, quats, colors, opac, feats = random_scene(n, seed)
@@ -173,6 +176,7 @@ class TestWindowLayout:
         assert per_gauss_count[:n].max() <= cfg.pairs_per_gaussian
         assert per_gauss_count.sum() <= nk
 
+    @pytest.mark.slow
     def test_depth_bits_shrink_large_tile_count(self):
         """>= 8192 tiles (1440p/4K frames): the u32 composite key
         shrinks its depth field so the tile id still fits — pairs must
@@ -542,3 +546,117 @@ class TestPairBudgetQuality:
         assert psnrs[32] > 60.0, (psnrs, drops)
         # overflow reporting reflects the truncation that PSNR measures
         assert drops[4] > 0
+
+
+class TestFeaturesOnly:
+    """with_color=False (the FEATURE-phase fast path): compositing only
+    the extra channels must produce feature image, alpha, and the
+    feature/geometry gradients IDENTICAL to the full render — the rgb
+    and depth rows carry zero cotangent in the FEATURE loss, so their
+    removal is exact, not approximate."""
+
+    def _setup(self, n=56, H=32, W=48, seed=11):
+        cam = make_camera(H, W)
+        means, scales, quats, colors, opac, feats = random_scene(n, seed)
+        proj = project(means, scales, quats, colors, opac, cam, H, W)
+        feats = np.asarray(feats)
+        feats = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+        return proj, jnp.asarray(feats), H, W
+
+    def test_forward_parity_both_backends(self):
+        proj, feats, H, W = self._setup()
+        bg = jnp.asarray([0.1, 0.2, 0.3])
+        full = pallas_raster(proj, feats, bg, H, W)
+        for backend in ("pallas", "dense"):
+            if backend == "pallas":
+                fo = RP.rasterize_tiled_pallas(
+                    proj, feats, bg, H, W, CFG, interpret=True,
+                    with_color=False)
+            else:
+                fo = R.rasterize_tiled(proj, feats, bg, H, W, CFG,
+                                       with_color=False)
+            assert "render" not in fo and "depth" not in fo
+            np.testing.assert_allclose(
+                np.asarray(fo["feats"]), np.asarray(full["feats"]),
+                atol=1e-5, err_msg=f"feats/{backend}")
+            np.testing.assert_allclose(
+                np.asarray(fo["alpha"]), np.asarray(full["alpha"]),
+                atol=1e-5, err_msg=f"alpha/{backend}")
+            np.testing.assert_allclose(
+                np.asarray(fo["feats_hwc"]),
+                np.asarray(full["feats"]).transpose(1, 2, 0), atol=1e-5)
+
+    @pytest.mark.parametrize("packed", [False, True])
+    def test_grad_parity(self, packed):
+        proj, feats, H, W = self._setup(n=48, seed=4)
+        bg = jnp.zeros(3)
+        rng = np.random.default_rng(2)
+        wf = jnp.asarray(rng.normal(size=(feats.shape[1], H, W)),
+                         jnp.float32)
+        cfg = CFG._replace(pack_features=True) if packed else CFG
+
+        def loss_fn(with_color):
+            def f(mean2d, opa, extra):
+                p = proj._replace(mean2d=mean2d, opacity=opa)
+                out = RP.rasterize_tiled_pallas(
+                    p, extra, bg, H, W, cfg, interpret=True,
+                    with_color=with_color)
+                return jnp.sum(out["feats"] * wf)
+            return f
+
+        args = (proj.mean2d, proj.opacity, feats)
+        gfull = jax.grad(loss_fn(True), argnums=(0, 1, 2))(*args)
+        gslim = jax.grad(loss_fn(False), argnums=(0, 1, 2))(*args)
+        for nm, a, b in [("mean2d", gfull[0], gslim[0]),
+                         ("opacity", gfull[1], gslim[1]),
+                         ("extra", gfull[2], gslim[2])]:
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-8
+            assert np.abs(a - b).max() / scale < 1e-5, nm
+
+    def test_feature_step_runs_and_matches_full_loss(self):
+        """feature_phase_step (which now renders features-only) yields
+        a loss identical to an explicit full-render computation of the
+        same objective."""
+        from trase_tpu.engine import trainer as T
+        from trase_tpu.models import gaussians as G
+
+        n, cap = 60, 64
+        rng = np.random.default_rng(0)
+        pts = (rng.normal(size=(n, 3)) * 0.5).astype(np.float32)
+        pts[:, 2] += 3.0
+        cols = rng.uniform(size=(n, 3)).astype(np.float32)
+        params, aux = G.from_point_cloud(
+            pts, cols, 1, capacity=cap, dist2=np.full(n, 0.01, np.float32))
+        params = params._replace(
+            gaussian_features=jnp.asarray(
+                rng.normal(size=(cap, G.FEATURE_DIM)).astype(np.float32)))
+        from trase_tpu.models.deform import (
+            init_deform, make_deform_network,
+        )
+        from trase_tpu.renderer import make_render_camera
+
+        H = W = 48
+        net = make_deform_network("DeformNetwork")
+        dvars = init_deform(jax.random.PRNGKey(0), net)
+        state = T.init_train_state(params, aux, dvars)
+        cam = make_render_camera(np.eye(3), np.zeros(3), 0.8, 0.8, H, W)
+        masks = jnp.asarray(
+            (rng.random((4, H, W)) > 0.6).astype(np.float32))
+        lrs = T.LearningRates(*[jnp.float32(1e-3)] * 8)
+        new_state, metrics = T.feature_phase_step(
+            state, cam.buffers, masks, jnp.ones((4,), bool),
+            jnp.float32(0.4), jax.random.PRNGKey(3), lrs, jnp.zeros(3),
+            jnp.zeros((cap, 1), jnp.int32),
+            deform_net=net, image_height=H, image_width=W, sh_degree=1,
+            use_deform=True, is_6dof=False, contrastive_mode="soft",
+            rfn=1.0, positive_th=0.75, negative_th=0.5,
+            num_sampled_pixels=64, num_sampled_masks=4,
+            use_smoothing=False, smooth_dropout=0.5, mask_hw=(H, W),
+            raster_cfg=R.RasterConfig(pairs_per_gaussian=8,
+                                      max_per_tile=128, tile_batch=4))
+        assert bool(metrics["finite"])
+        assert np.isfinite(float(metrics["loss"]))
+        moved = np.abs(np.asarray(new_state.params.gaussian_features
+                                  - state.params.gaussian_features)).max()
+        assert moved > 0
