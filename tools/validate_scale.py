@@ -295,6 +295,13 @@ def main(argv=None):
             raise _Deadline(iteration)
 
     aborted_at = None
+    last_seen = [0]
+    orig_on_iteration = on_iteration
+
+    def on_iteration(tr, iteration, metrics):  # noqa: F811
+        last_seen[0] = iteration
+        orig_on_iteration(tr, iteration, metrics)
+
     try:
         trainer.train(first_iter=0, saving_iterations=set(),
                       testing_iterations=set(), progress=True,
@@ -303,6 +310,11 @@ def main(argv=None):
         aborted_at = int(e.args[0])
         print(f"[validate_scale] --max_hours hit at iter {aborted_at}; "
               f"running final eval on the current state")
+    except Exception as e:  # noqa: BLE001 — salvage the curve
+        aborted_at = max(last_seen[0], 1)
+        print(f"[validate_scale] training DIED at iter ~{aborted_at} "
+              f"({type(e).__name__}: {e}); attempting final eval on "
+              f"the last committed state")
     t_train = time.perf_counter() - t1
 
     final_iter = aborted_at if aborted_at is not None else args.iterations
