@@ -93,31 +93,45 @@ def seg_eval(trainer, scene, dataset, raster_cfg, model_dir, iteration,
     cluster_of = np.full(capacity, -1, np.int64)
     cluster_of[alive_idx] = ids
 
-    _jit_cache = {}
-
     def render_mask(cam_key, cam, member):
         """Predicted object mask: deformed render at the view's fid with
         per-gaussian selection, binarized alpha (reference
-        render.py:334-366 pred_masks)."""
-        fn = _jit_cache.get(cam_key)
-        if fn is None:
-            rc = cam.to_render_camera()
-            fid = jnp.float32(cam.fid)
+        render.py:334-366 pred_masks). One compile serves every view,
+        cluster, AND milestone: pose buffers, fid, member mask, params
+        and deform weights are all traced arguments, cached on the
+        trainer keyed by shape (a per-view jit would recompile for
+        every camera at ~20-40 s each on hardware)."""
+        from trase_tpu.renderer import RenderCamera
 
-            def _alpha(m):
+        rc = cam.to_render_camera()
+        key = ("seg_eval_alpha", rc.image_height, rc.image_width,
+               trainer.active_sh_degree, raster_cfg)
+        cache = getattr(trainer, "_seg_eval_cache", None)
+        if cache is None:
+            cache = trainer._seg_eval_cache = {}
+        fn = cache.get(key)
+        if fn is None:
+            H, W = rc.image_height, rc.image_width
+            sh_degree = trainer.active_sh_degree
+            deform_net = trainer.deform_net
+            is_6dof = dataset.is_6dof
+
+            def _alpha(m, prm, alv, dvars, buffers, fid):
                 d = T._apply_deform(
-                    trainer.deform_net, deform_vars, params.xyz, fid,
+                    deform_net, dvars, prm.xyz, fid,
                     0.0, True, stop_grad_deform=True,
-                    gaussian_features=params.gaussian_features)
-                return render(rc, params, alive, jnp.zeros(3), *d,
-                              is_6dof=dataset.is_6dof,
-                              sh_degree=trainer.active_sh_degree,
+                    gaussian_features=prm.gaussian_features)
+                rcam = RenderCamera(buffers, H, W)
+                return render(rcam, prm, alv, jnp.zeros(3), *d,
+                              is_6dof=is_6dof,
+                              sh_degree=sh_degree,
                               with_features=False, mask=m,
                               raster_cfg=raster_cfg)["alpha"]
 
-            fn = jax.jit(_alpha)
-            _jit_cache[cam_key] = fn
-        return np.asarray(fn(jnp.asarray(member)))[0] > 0.5
+            fn = cache[key] = jax.jit(_alpha)
+        return np.asarray(fn(jnp.asarray(member), params, alive,
+                             deform_vars, rc.buffers,
+                             jnp.float32(cam.fid)))[0] > 0.5
 
     test_cams = scene.get_test_cameras()
     # match clusters to blobs on the FIRST test view by intersection-

@@ -27,7 +27,7 @@ from ..models.deform import init_deform, make_deform_network
 from ..models.gaussians_io import load_checkpoint, save_checkpoint
 from ..ops.knn import build_feature_smooth_map
 from ..ops.rasterize import RasterConfig
-from ..renderer import render
+from ..renderer import RenderCamera, render
 from ..utils.image import psnr
 from . import trainer as T
 
@@ -129,8 +129,27 @@ class Trainer:
         self._initial_pairs_per_gaussian = \
             self.raster_cfg.pairs_per_gaussian
         self._deescalate_clean = 0
-        self._pending_metrics = None
+        # metrics pipeline: the host runs up to `metrics_pipeline_depth`
+        # iterations ahead of the metric fetches and drains them in
+        # batches of `metrics_consume_batch` with ONE device_get — each
+        # fetch through the remote-device tunnel is a full RPC round
+        # trip (BASELINE.md round-4 caveat: 50-200 ms), so per-iteration
+        # float(metrics[...]) calls dominate wall-clock long before the
+        # device does. Flushed fully at phase switches / milestones, so
+        # the NaN retro-correction (see _consume_metrics) lands before
+        # any decision that depends on it.
+        from collections import deque
+
+        self.metrics_pipeline_depth = int(
+            getattr(opt_args, "metrics_pipeline_depth", 24))
+        self.metrics_consume_batch = int(
+            getattr(opt_args, "metrics_consume_batch", 8))
+        self._pending: "deque" = deque()
         self._last_consume_t = None
+        # device-resident base key for in-graph per-step RNG derivation
+        # (feature_phase_step_packed folds in the iteration index)
+        self.rng, self._step_base_rng = jax.random.split(self.rng)
+        self._render_view_cache: dict = {}
         self._n_alive_cache = int(G.num_alive(self.state.aux))
         self.ema_loss = 0.0
         self.ema_pos = 0.0
@@ -238,16 +257,27 @@ class Trainer:
             self._smooth_dirty = False
         return self._smooth_map
 
+    def _dummy_smooth_map(self):
+        """Device-cached (C,1) zeros for the no-smoothing path — a fresh
+        jnp.zeros per iteration is a per-step device dispatch."""
+        capacity = self.state.params.xyz.shape[0]
+        cached = getattr(self, "_dummy_smooth", None)
+        if cached is None or cached.shape[0] != capacity:
+            cached = jnp.zeros((capacity, 1), jnp.int32)
+            self._dummy_smooth = cached
+        return cached
+
     # ------------------------------------------------------------- steps
 
     def _gaussian_step(self, cam, iteration):
         use_deform = iteration >= self.opt.warm_up
         ast = self.ast_noise_fn(self.np_rng, iteration)
         rc = cam.to_render_camera()
-        new_state, metrics = T.gaussian_phase_step(
-            self.state, rc.buffers, self._gt_image(cam),
-            jnp.float32(cam.fid), jnp.float32(ast),
-            self.lr_at(iteration), self.bg_color,
+        scal = T.pack_step_scalars(cam.fid, ast, iteration,
+                                   self.lr_at(iteration))
+        new_state, metrics = T.gaussian_phase_step_packed(
+            self.state, rc.buffers, self._gt_image(cam), scal,
+            self.bg_color,
             deform_net=self.deform_net,
             image_height=rc.image_height, image_width=rc.image_width,
             sh_degree=self.active_sh_degree,
@@ -265,16 +295,16 @@ class Trainer:
             return None  # no masks for this camera -> skip (reference
             # assumes masks exist for all train views)
         masks, valid = entry
-        self.rng, step_rng = jax.random.split(self.rng)
         use_deform = iteration >= self.opt.warm_up
         use_smoothing = self.opt.smooth_K != 1
         rc = cam.to_render_camera()
-        new_state, metrics = T.feature_phase_step(
+        scal = T.pack_step_scalars(cam.fid, 0.0, iteration,
+                                   self.lr_at(iteration))
+        new_state, metrics = T.feature_phase_step_packed(
             self.state, rc.buffers, masks, valid,
-            jnp.float32(cam.fid), step_rng,
-            self.lr_at(iteration), self.bg_color,
+            scal, self._step_base_rng, self.bg_color,
             self._get_smooth_map() if use_smoothing else
-            jnp.zeros((self.state.params.xyz.shape[0], 1), jnp.int32),
+            self._dummy_smooth_map(),
             deform_net=self.deform_net,
             image_height=rc.image_height, image_width=rc.image_width,
             sh_degree=self.active_sh_degree,
@@ -419,12 +449,10 @@ class Trainer:
                 # `iterations > max_iterations` is evaluated or the
                 # phase flips one step early (one extra host sync per
                 # ~iterative_opt_interval steps, off the hot path)
-                if (self._pending_metrics is not None
+                if (self._pending
                         and self.opt_state.iterations
                         > self.opt_state.max_iterations):
-                    self._consume_metrics(*self._pending_metrics,
-                                          iter_bar=iter_bar)
-                    self._pending_metrics = None
+                    self._flush_metrics(iter_bar, all_pending=True)
                 if self.opt_state.switch():
                     viewpoint_stack = list(train_cams)
                     if self.opt_state.state == T.FEATURE:
@@ -456,19 +484,20 @@ class Trainer:
                 if metrics is None:
                     metrics = self._gaussian_step(cam, iteration)
 
-            # Pipeline the metrics fetch: consume the PREVIOUS step's
-            # metrics now (its device work has been overlapping this
-            # iteration's host prep + enqueue), keeping the device one
-            # step ahead instead of stalling on a host sync per iter.
-            # The phase counter is incremented optimistically at
-            # enqueue (finite losses are the overwhelming case —
-            # matching reference train.py:378-380 exactly on healthy
-            # runs) and retro-corrected on a NaN when it is consumed.
+            # Pipeline the metrics fetches: enqueue this step's metrics
+            # and drain the queue in batches once it is deep enough —
+            # the device runs up to `metrics_pipeline_depth` iterations
+            # ahead of the (RPC-expensive) host fetches. The phase
+            # counter is incremented optimistically at enqueue (finite
+            # losses are the overwhelming case — matching reference
+            # train.py:378-380 exactly on healthy runs) and
+            # retro-corrected on a NaN when its metrics are consumed;
+            # the queue is flushed fully before any decision that
+            # depends on it (phase switch, milestones).
             self.opt_state.step()
-            if self._pending_metrics is not None:
-                self._consume_metrics(*self._pending_metrics,
-                                      iter_bar=iter_bar)
-            self._pending_metrics = (iteration, metrics)
+            self._pending.append((iteration, metrics))
+            if len(self._pending) >= self.metrics_pipeline_depth:
+                self._flush_metrics(iter_bar)
             if iter_bar and iteration % 10 == 0:
                 iter_bar.update(10)
 
@@ -476,9 +505,7 @@ class Trainer:
                          or iteration in saving_iterations
                          or iteration in checkpoint_iterations)
             if milestone:
-                self._consume_metrics(*self._pending_metrics,
-                                      iter_bar=iter_bar)
-                self._pending_metrics = None
+                self._flush_metrics(iter_bar, all_pending=True)
 
             if iteration in testing_iterations:
                 cur = self.evaluate(iteration)
@@ -505,10 +532,7 @@ class Trainer:
             if on_iteration is not None:
                 on_iteration(self, iteration, metrics)
 
-        if self._pending_metrics is not None:
-            self._consume_metrics(*self._pending_metrics,
-                                  iter_bar=iter_bar)
-            self._pending_metrics = None
+        self._flush_metrics(iter_bar, all_pending=True)
         if iter_bar:
             iter_bar.close()
         dt = time.time() - t_start
@@ -519,14 +543,45 @@ class Trainer:
             print(f"[timing] {n_iters} iters in {dt:.1f}s = "
                   f"{n_iters / dt:.2f} it/s")
 
+    def _flush_metrics(self, iter_bar=None, all_pending: bool = False):
+        """Drain queued (iteration, metrics) pairs, oldest first, with
+        ONE device_get per batch — one tunnel RPC amortized over
+        `metrics_consume_batch` iterations instead of several per
+        iteration. With all_pending=True the whole queue drains (phase
+        switches, milestones, end of training)."""
+        take = (len(self._pending) if all_pending
+                else min(self.metrics_consume_batch, len(self._pending)))
+        if take == 0:
+            return
+        batch = [self._pending.popleft() for _ in range(take)]
+        fetched = jax.device_get(
+            [m.get("packed", {k: v for k, v in m.items()
+                              if k != "packed"})
+             for _, m in batch])
+        for (it, m), row in zip(batch, fetched):
+            self._consume_metrics(it, m, row, iter_bar=iter_bar)
+
     def _consume_metrics(self, iteration: int, metrics: dict,
-                         iter_bar=None):
+                         fetched=None, iter_bar=None):
         """Host-side bookkeeping for a completed step: NaN guard
         (retro-corrects the optimistic phase-counter increment), EMA
-        displays, TensorBoard scalars, overflow telemetry. Runs one
-        iteration behind the device by design."""
-        loss = float(metrics["loss"])
-        finite = bool(metrics["finite"])
+        displays, TensorBoard scalars, overflow telemetry. Runs up to
+        `metrics_pipeline_depth` iterations behind the device by
+        design. `fetched` is the host copy of metrics["packed"] (or of
+        the metrics dict for steps that don't pack); None fetches
+        synchronously."""
+        if fetched is None:
+            fetched = jax.device_get(
+                metrics.get("packed",
+                            {k: v for k, v in metrics.items()
+                             if k != "packed"}))
+        if isinstance(fetched, dict):
+            vals = {k: float(v) for k, v in fetched.items()}
+        else:
+            vals = dict(zip(T.METRIC_KEYS,
+                            np.asarray(fetched, np.float64)))
+        loss = vals["loss"]
+        finite = bool(vals["finite"])
         if not finite:
             # non-finite loss OR post-update state (trainer._all_finite): the
             # in-graph guard skipped the whole update, so this is one
@@ -541,19 +596,18 @@ class Trainer:
             self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
         if "overflow" in metrics and iteration % 100 == 0:
             self._handle_overflow(
-                iteration, float(metrics["overflow"]),
-                float(metrics.get("overflow_half", -1.0)))
+                iteration, vals["overflow"],
+                vals.get("overflow_half", -1.0))
         if "pos_sim" in metrics:
-            self.ema_pos = 0.4 * float(metrics["pos_sim"]) + \
-                0.6 * self.ema_pos
-            self.ema_neg = 0.4 * float(metrics["neg_sim"]) + \
+            self.ema_pos = 0.4 * vals["pos_sim"] + 0.6 * self.ema_pos
+            self.ema_neg = 0.4 * vals.get("neg_sim", 0.0) + \
                 0.6 * self.ema_neg
 
         now = time.time()
         if self.tb:
             if "l1" in metrics:
                 self.tb.scalar("train_loss_patches/l1_loss",
-                               float(metrics["l1"]), iteration)
+                               vals["l1"], iteration)
             self.tb.scalar("train_loss_patches/total_loss", loss,
                            iteration)
             if self._last_consume_t is not None:
@@ -567,7 +621,7 @@ class Trainer:
                     "State": self.opt_state.state,
                     "Points": self._n_alive_cache}
             if self.opt_state.state == T.FEATURE:
-                show["RFN"] = f"{float(metrics.get('rfn', 0)):.3f}"
+                show["RFN"] = f"{vals.get('rfn', 0.0):.3f}"
                 show["Pos sim."] = f"{self.ema_pos:.3f}"
                 show["Neg sim."] = f"{self.ema_neg:.3f}"
             if getattr(self.opt, "monitor_mem", False):
@@ -637,26 +691,41 @@ class Trainer:
         return test_psnr
 
     def render_view(self, cam, d_zero: bool = False):
+        # jit cache keyed by everything closed over: a fresh jit per
+        # call would recompile for EVERY view of EVERY eval (~20-40 s
+        # each on hardware); one compile serves all same-shape cameras
+        # since pose buffers and fid are traced arguments
         rc = cam.to_render_camera()
-        fid = jnp.float32(cam.fid)
+        key = (rc.image_height, rc.image_width, d_zero,
+               self.active_sh_degree, self.args.is_6dof, self.raster_cfg)
+        fn = self._render_view_cache.get(key)
+        if fn is None:
+            H, W = rc.image_height, rc.image_width
+            sh_degree = self.active_sh_degree
+            raster_cfg = self.raster_cfg
+            is_6dof = self.args.is_6dof
+            deform_net = self.deform_net
+            bg_color = self.bg_color
+
+            @jax.jit
+            def _r(params, alive, deform_vars, buffers, fid):
+                rcam = RenderCamera(buffers, H, W)
+                if d_zero:
+                    d = (0.0, 0.0, 0.0)
+                else:
+                    d = T._apply_deform(
+                        deform_net, deform_vars, params.xyz, fid, 0.0,
+                        True, stop_grad_deform=True,
+                        gaussian_features=params.gaussian_features)
+                return render(rcam, params, alive, bg_color, *d,
+                              is_6dof=is_6dof, sh_degree=sh_degree,
+                              with_features=False,
+                              raster_cfg=raster_cfg)["render"]
+
+            self._render_view_cache[key] = fn = _r
         state = self.state
-
-        @jax.jit
-        def _r(params, alive, deform_vars):
-            if d_zero:
-                d = (0.0, 0.0, 0.0)
-            else:
-                d = T._apply_deform(
-                    self.deform_net, deform_vars, params.xyz, fid, 0.0,
-                    True, stop_grad_deform=True,
-                    gaussian_features=params.gaussian_features)
-            return render(rc, params, alive, self.bg_color, *d,
-                          is_6dof=self.args.is_6dof,
-                          sh_degree=self.active_sh_degree,
-                          with_features=False,
-                          raster_cfg=self.raster_cfg)["render"]
-
-        return _r(state.params, state.aux.alive, state.deform_vars)
+        return fn(state.params, state.aux.alive, state.deform_vars,
+                  rc.buffers, jnp.float32(cam.fid))
 
     # ------------------------------------------------------------- save
 

@@ -101,7 +101,13 @@ class LearningRates(NamedTuple):
 
 def make_learning_rate_schedules(opt_args, spatial_lr_scale: float = 5.0):
     """xyz + deform exponential schedules (gaussian_model.py:290-293,
-    deform_model.py:45-48)."""
+    deform_model.py:45-48).
+
+    Returns HOST floats, not device scalars: through the remote-device
+    tunnel every per-iteration ``jnp.float32`` is its own transfer RPC;
+    the train loop packs these into one scalar array per step
+    (pack_step_scalars) and jit args trace python floats identically.
+    """
     xyz_sched = expon_lr_func(
         lr_init=opt_args.position_lr_init * spatial_lr_scale,
         lr_final=opt_args.position_lr_final * spatial_lr_scale,
@@ -117,17 +123,50 @@ def make_learning_rate_schedules(opt_args, spatial_lr_scale: float = 5.0):
 
     def at(iteration: int) -> LearningRates:
         return LearningRates(
-            xyz=jnp.float32(xyz_sched(iteration)),
-            features_dc=jnp.float32(opt_args.feature_lr),
-            features_rest=jnp.float32(opt_args.feature_lr / 20.0),
-            opacity=jnp.float32(opt_args.opacity_lr),
-            scaling=jnp.float32(opt_args.scaling_lr),
-            rotation=jnp.float32(opt_args.rotation_lr),
-            gaussian_features=jnp.float32(opt_args.feature_lr),
-            deform=jnp.float32(deform_sched(iteration)),
+            xyz=float(xyz_sched(iteration)),
+            features_dc=float(opt_args.feature_lr),
+            features_rest=float(opt_args.feature_lr / 20.0),
+            opacity=float(opt_args.opacity_lr),
+            scaling=float(opt_args.scaling_lr),
+            rotation=float(opt_args.rotation_lr),
+            gaussian_features=float(opt_args.feature_lr),
+            deform=float(deform_sched(iteration)),
         )
 
     return at
+
+
+# Fixed slot layout of the per-step packed metrics vector. One small
+# device array per step means the host fetches ONE buffer per iteration
+# (batched across iterations by the loop's metrics pipeline) instead of
+# one round trip per metric — through the tunnel each fetch is a
+# 50-200 ms RPC (BASELINE.md round-4 measurement caveat).
+METRIC_KEYS = ("loss", "finite", "overflow", "overflow_half",
+               "l1", "rfn", "pos_sim", "neg_sim")
+
+
+def pack_metrics(metrics: dict) -> jnp.ndarray:
+    """(8,) f32 of METRIC_KEYS (missing keys -> 0). In-graph, free."""
+    return jnp.stack([
+        jnp.asarray(metrics.get(k, 0.0), jnp.float32).reshape(())
+        for k in METRIC_KEYS
+    ])
+
+
+# Per-step scalar pack: [fid, ast_noise, iteration, 8 x LearningRates].
+# One (11,) host->device transfer per iteration replaces ~10 individual
+# scalar transfers (each its own RPC through the tunnel).
+N_STEP_SCALARS = 11
+
+
+def pack_step_scalars(fid: float, ast_noise: float, iteration: int,
+                      lrs: LearningRates) -> np.ndarray:
+    return np.array([fid, ast_noise, float(iteration), *lrs], np.float32)
+
+
+def _unpack_step_scalars(scal):
+    lrs = LearningRates(*(scal[i] for i in range(3, 11)))
+    return scal[0], scal[1], scal[2].astype(jnp.int32), lrs
 
 
 def _all_finite(*trees) -> jnp.ndarray:
@@ -195,15 +234,14 @@ def _apply_deform(deform_net, deform_vars, xyz, fid, ast_noise, use_deform,
                        features=feats, dtype=dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "deform_net", "image_height", "image_width", "sh_degree",
-        "use_deform", "is_6dof", "lambda_dssim", "lambda_reg_deform",
-        "raster_cfg",
-    ),
+_GAUSSIAN_STATICS = (
+    "deform_net", "image_height", "image_width", "sh_degree",
+    "use_deform", "is_6dof", "lambda_dssim", "lambda_reg_deform",
+    "raster_cfg",
 )
-def gaussian_phase_step(
+
+
+def _gaussian_phase_body(
     state: TrainState,
     cam_buffers: CameraBuffers,
     gt_image: jnp.ndarray,  # (3, H, W)
@@ -301,20 +339,57 @@ def gaussian_phase_step(
     )
     metrics = {"loss": loss, "l1": ll1, "finite": finite,
                "overflow": overflow, "overflow_half": overflow_half}
+    metrics["packed"] = pack_metrics(metrics)
     return new_state, metrics
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "deform_net", "image_height", "image_width", "sh_degree",
-        "use_deform", "is_6dof", "contrastive_mode", "rfn",
-        "positive_th", "negative_th",
-        "num_sampled_pixels", "num_sampled_masks", "use_smoothing",
-        "smooth_dropout", "mask_hw", "raster_cfg", "use_pixel_weights",
-    ),
+# public entry, same signature as the body
+gaussian_phase_step = functools.partial(
+    jax.jit, static_argnames=_GAUSSIAN_STATICS)(_gaussian_phase_body)
+
+
+@functools.partial(jax.jit, static_argnames=_GAUSSIAN_STATICS)
+def gaussian_phase_step_packed(
+    state: TrainState,
+    cam_buffers: CameraBuffers,
+    gt_image: jnp.ndarray,
+    scal: jnp.ndarray,  # (N_STEP_SCALARS,) from pack_step_scalars
+    bg_color: jnp.ndarray,
+    *,
+    deform_net: DeformNetwork,
+    image_height: int,
+    image_width: int,
+    sh_degree: int,
+    use_deform: bool,
+    is_6dof: bool,
+    lambda_dssim: float,
+    lambda_reg_deform: float,
+    raster_cfg: RT.RasterConfig,
+):
+    """gaussian_phase_step with all per-iteration scalars packed into
+    one (11,) array: one host->device transfer per step instead of ~10
+    individual scalar RPCs through the remote-device tunnel."""
+    fid, ast_noise, _, lrs = _unpack_step_scalars(scal)
+    return _gaussian_phase_body(
+        state, cam_buffers, gt_image, fid, ast_noise, lrs, bg_color,
+        deform_net=deform_net, image_height=image_height,
+        image_width=image_width, sh_degree=sh_degree,
+        use_deform=use_deform, is_6dof=is_6dof,
+        lambda_dssim=lambda_dssim, lambda_reg_deform=lambda_reg_deform,
+        raster_cfg=raster_cfg,
+    )
+
+
+_FEATURE_STATICS = (
+    "deform_net", "image_height", "image_width", "sh_degree",
+    "use_deform", "is_6dof", "contrastive_mode", "rfn",
+    "positive_th", "negative_th",
+    "num_sampled_pixels", "num_sampled_masks", "use_smoothing",
+    "smooth_dropout", "mask_hw", "raster_cfg", "use_pixel_weights",
 )
-def feature_phase_step(
+
+
+def _feature_phase_body(
     state: TrainState,
     cam_buffers: CameraBuffers,
     sam_masks: jnp.ndarray,  # (M, Hm, Wm) float32, zero-padded
@@ -366,10 +441,16 @@ def feature_phase_step(
 
     def loss_fn(feat32, off):
         params = p._replace(gaussian_features=feat32)
+        # with_color=False: composite ONLY the 32 feature channels —
+        # rgb/depth carry zero cotangent in this loss (the reference
+        # renders them anyway and lets autograd zero them,
+        # train.py:244-296); dropping them is gradient-exact
+        # (tests/test_rasterize_pallas.py::TestFeaturesOnly) and cuts
+        # the payload stream and both kernels' value matmuls
         out = render(
             camera, params, aux.alive, bg_color,
             d_xyz, d_rot, d_scale, is_6dof=is_6dof, sh_degree=sh_degree,
-            mean2d_offset=off, with_features=True,
+            mean2d_offset=off, with_features=True, with_color=False,
             norm_gaussian_features=True,
             smooth_map=smooth_map if use_smoothing else None,
             smooth_rng=rng_smooth if use_smoothing else None,
@@ -443,7 +524,63 @@ def feature_phase_step(
     metrics = {"loss": loss, "finite": finite, "rfn": rf_norm,
                "pos_sim": pos_sim, "neg_sim": neg_sim,
                "overflow": overflow, "overflow_half": overflow_half}
+    metrics["packed"] = pack_metrics(metrics)
     return new_state, metrics
+
+
+feature_phase_step = functools.partial(
+    jax.jit, static_argnames=_FEATURE_STATICS)(_feature_phase_body)
+
+
+@functools.partial(jax.jit, static_argnames=_FEATURE_STATICS)
+def feature_phase_step_packed(
+    state: TrainState,
+    cam_buffers: CameraBuffers,
+    sam_masks: jnp.ndarray,
+    mask_valid: jnp.ndarray,
+    scal: jnp.ndarray,  # (N_STEP_SCALARS,) from pack_step_scalars
+    base_rng: jax.Array,  # device-resident, constant across the run
+    bg_color: jnp.ndarray,
+    smooth_map: jnp.ndarray,
+    *,
+    deform_net: DeformNetwork,
+    image_height: int,
+    image_width: int,
+    sh_degree: int,
+    use_deform: bool,
+    is_6dof: bool,
+    contrastive_mode: str,
+    rfn: float,
+    positive_th: float,
+    negative_th: float,
+    num_sampled_pixels: int,
+    num_sampled_masks: int,
+    use_smoothing: bool,
+    smooth_dropout: float,
+    mask_hw: tuple,
+    raster_cfg: RT.RasterConfig,
+    use_pixel_weights: bool = True,
+):
+    """feature_phase_step with packed per-iteration scalars and the
+    step RNG derived IN-GRAPH as fold_in(base_rng, iteration) — the
+    host-side jax.random.split is itself a per-iteration device
+    dispatch through the tunnel."""
+    fid, _, it, lrs = _unpack_step_scalars(scal)
+    rng = jax.random.fold_in(base_rng, it)
+    return _feature_phase_body(
+        state, cam_buffers, sam_masks, mask_valid, fid, rng, lrs,
+        bg_color, smooth_map,
+        deform_net=deform_net, image_height=image_height,
+        image_width=image_width, sh_degree=sh_degree,
+        use_deform=use_deform, is_6dof=is_6dof,
+        contrastive_mode=contrastive_mode, rfn=rfn,
+        positive_th=positive_th, negative_th=negative_th,
+        num_sampled_pixels=num_sampled_pixels,
+        num_sampled_masks=num_sampled_masks,
+        use_smoothing=use_smoothing, smooth_dropout=smooth_dropout,
+        mask_hw=mask_hw, raster_cfg=raster_cfg,
+        use_pixel_weights=use_pixel_weights,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new"))
@@ -576,4 +713,6 @@ def style_phase_step(
         aux=_where_tree(finite, new_aux, aux),
         opt=_where_tree(finite, new_opt, state.opt),
     )
-    return new_state, {"loss": loss, "finite": finite}
+    metrics = {"loss": loss, "finite": finite}
+    metrics["packed"] = pack_metrics(metrics)
+    return new_state, metrics

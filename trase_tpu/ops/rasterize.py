@@ -241,12 +241,23 @@ def rasterize_tiled(
     image_height: int,
     image_width: int,
     cfg: RasterConfig = RasterConfig(),
+    with_color: bool = True,
 ):
     """Full-image tiled rasterization.
 
     Returns dict: render (3,H,W), feats (F,H,W) if extra_channels given,
     depth (1,H,W), alpha (1,H,W), overflow (scalar pair-drop count).
+
+    with_color=False (requires extra_channels) composites ONLY the
+    extra channels + alpha — the FEATURE-phase fast path: the rgb and
+    depth rows carry zero cotangent in the contrastive loss, so
+    dropping them is gradient-exact while cutting compositing and
+    payload traffic (reference renders rgb unconditionally,
+    gaussian_renderer/__init__.py:137-146; its FEATURE loss likewise
+    never touches it, train.py:244-296).
     """
+    if not with_color and extra_channels is None:
+        raise ValueError("with_color=False requires extra_channels")
     th, tw = _tile_grid(image_height, image_width)
     num_tiles = th * tw
     sorted_gauss, tile_start, overflow = build_tile_lists(
@@ -254,10 +265,11 @@ def rasterize_tiled(
     )
 
     opacity = jnp.where(proj.valid, proj.opacity, 0.0)
-    chans = [proj.color]
+    chans = [proj.color] if with_color else []
     if extra_channels is not None:
         chans.append(extra_channels)
-    chans.append(proj.depth[:, None])
+    if with_color:
+        chans.append(proj.depth[:, None])
     gdata = jnp.concatenate(chans, axis=1)  # (N, C)
     C = gdata.shape[1]
 
@@ -292,20 +304,23 @@ def rasterize_tiled(
     acc = acc.transpose(0, 2, 1, 3).reshape(th * TILE, tw * TILE)
     acc = acc[:image_height, :image_width]
 
-    rgb = out[:3] + (1.0 - acc)[None] * bg_color[:, None, None]
     result = {
-        "render": rgb,
-        "depth": out[-1:],
         "alpha": acc[None],
         "overflow": overflow,
         # K//2 would-drop prediction exists only on the pallas path;
         # -1 disables the trainer's pair-budget de-escalation here
         "overflow_half": jnp.float32(-1.0),
     }
-    if extra_channels is not None:
-        result["feats"] = out[3:-1]
+    if with_color:
+        rgb = out[:3] + (1.0 - acc)[None] * bg_color[:, None, None]
+        result["render"] = rgb
+        result["depth"] = out[-1:]
+    feats = (out[3:-1] if with_color else out) \
+        if extra_channels is not None else None
+    if feats is not None:
+        result["feats"] = feats
         # channels-last view for consumers that sample pixels (the
         # contrastive trainer): layout-free on this dense path, and
         # whichever key goes unused is dead-code-eliminated under jit
-        result["feats_hwc"] = out[3:-1].transpose(1, 2, 0)
+        result["feats_hwc"] = feats.transpose(1, 2, 0)
     return result

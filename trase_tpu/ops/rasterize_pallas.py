@@ -379,7 +379,7 @@ def _dot(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _vals_ext_rows(block_t, n_val, n_packed):
+def _vals_ext_rows(block_t, n_val, n_packed, with_color=True):
     """(1 + n_val, chunk) value matrix [ONE, rgb, feats, depth] from a
     payload window, unpacking bf16-paired feature rows when the packed
     layout is active (n_packed > 0).
@@ -390,43 +390,53 @@ def _vals_ext_rows(block_t, n_val, n_packed):
     the f32 bit pattern u16 << 16). Unpack is two cheap VPU bit ops per
     packed row; the returned rows are in the UNPACKED payload's value
     order so the backward's gradient rows need no remapping.
+
+    with_color=False (features-only payload, value rows = feats alone):
+    the packed layout is just [geom 8, packed n_packed].
     """
     if n_packed == 0:
         return jnp.concatenate(
             [block_t[6:7, :],
              block_t[GEOM_COLS:GEOM_COLS + n_val, :]], axis=0)
-    rgb = block_t[GEOM_COLS:GEOM_COLS + 3, :]
-    depth = block_t[GEOM_COLS + 3:GEOM_COLS + 4, :]
-    pk = block_t[GEOM_COLS + 4:GEOM_COLS + 4 + n_packed, :]
+    n_plain = 3 if with_color else 0  # rgb rows before the packed rows
+    head = block_t[GEOM_COLS:GEOM_COLS + n_plain, :]
+    pk = block_t[GEOM_COLS + n_plain + (1 if with_color else 0):
+                 GEOM_COLS + n_plain + (1 if with_color else 0)
+                 + n_packed, :]
     u = jax.lax.bitcast_convert_type(pk, jnp.uint32)
     lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
     hi = jax.lax.bitcast_convert_type(
         u & jnp.uint32(0xFFFF0000), jnp.float32)
-    return jnp.concatenate([block_t[6:7, :], rgb, lo, hi, depth],
-                           axis=0)
+    rows = [block_t[6:7, :], head, lo, hi]
+    if with_color:
+        rows.append(block_t[GEOM_COLS + 3:GEOM_COLS + 4, :])  # depth
+    return jnp.concatenate(rows, axis=0)
 
 
-def pack_feature_rows(payload, n_val, n_packed):
+def pack_feature_rows(payload, n_val, n_packed, with_color=True):
     """(N+1, f_pad) payload -> bf16-feature-packed table
-    [geom 8, rgb 3, depth 1, packed n_packed, pad].
+    [geom 8, rgb 3, depth 1, packed n_packed, pad] (with_color) or
+    [geom 8, packed n_packed, pad] (features-only).
 
     Halves the HBM traffic of the pair gather and the kernels' span
     DMAs for the 2*n_packed feature rows (the FEATURE phase's 48-row
-    payload becomes 32 rows) at bf16 value precision; geometry, rgb
-    and depth stay f32. Uses bitcasts, so it is NOT differentiable —
-    it runs only inside pallas_composite's custom-vjp forward, and the
-    backward emits gradients in the unpacked row layout directly.
+    payload becomes 32 rows; 24 with with_color=False) at bf16 value
+    precision; geometry, rgb and depth stay f32. Uses bitcasts, so it
+    is NOT differentiable — it runs only inside pallas_composite's
+    custom-vjp forward, and the backward emits gradients in the
+    unpacked row layout directly.
     """
     n_feat = 2 * n_packed
+    n_plain = 3 if with_color else 0
     geom = payload[:, :GEOM_COLS]
-    rgb = payload[:, GEOM_COLS:GEOM_COLS + 3]
-    feats = payload[:, GEOM_COLS + 3:GEOM_COLS + 3 + n_feat]
-    depth = payload[:, GEOM_COLS + 3 + n_feat:GEOM_COLS + n_val]
+    rgb = payload[:, GEOM_COLS:GEOM_COLS + n_plain]
+    feats = payload[:, GEOM_COLS + n_plain:GEOM_COLS + n_plain + n_feat]
+    depth = payload[:, GEOM_COLS + n_plain + n_feat:GEOM_COLS + n_val]
     u16 = jax.lax.bitcast_convert_type(
         feats.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
     packed = jax.lax.bitcast_convert_type(
         u16[:, :n_packed] | (u16[:, n_packed:] << 16), jnp.float32)
-    f = GEOM_COLS + 4 + n_packed
+    f = GEOM_COLS + (4 if with_color else 0) + n_packed
     f_pad = -(-f // 8) * 8
     return jnp.concatenate(
         [geom, rgb, depth, packed,
@@ -556,7 +566,7 @@ def _span_walk(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
 def _fwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
                       payload_hbm, *rest, n_val: int, tw: int,
                       gxn: int, num_tiles: int, with_residuals: bool,
-                      n_packed: int = 0):
+                      n_packed: int = 0, with_color: bool = True):
     """One grid step = one group (a 16-tile row segment).
 
     Reads the pair-ordered payload through the span walker — no
@@ -614,7 +624,8 @@ def _fwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
                 live, jnp.exp(alpha_log + cum_excl + logt[...]), 0.0)
             # value rows prefixed by the constant ONE row: one
             # matmul yields [alpha-total, channels...] per pixel.
-            vals_ext = _vals_ext_rows(block_t, n_val, n_packed)
+            vals_ext = _vals_ext_rows(block_t, n_val, n_packed,
+                                       with_color)
             contrib = jax.lax.dot_general(
                 wgt, vals_ext, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -772,7 +783,8 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
                       dpay_hbm, pbuf, psem, obuf, osem, tbuf, tsem,
                       logtc, rcarry, state, *, n_val: int, tw: int,
                       gxn: int, num_tiles: int, f_pad: int,
-                      n_packed: int = 0, emit_grads: bool = True):
+                      n_packed: int = 0, with_color: bool = True,
+                      emit_grads: bool = True):
     """Backward over one tile group: ONE reverse superblocked pass.
 
     Walks the group's windows last-to-first. On first (reverse) visit
@@ -868,10 +880,13 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
             tot = cum[:, last:last + 1]
             t_start_log = logtc[...] - tot  # (PIX, 1) log T at win start
             excl_lin = jnp.exp(t_start_log + (cum - lg))  # T before i
-            incl_lin = jnp.exp(t_start_log + cum)  # T after i
+            # T after i = T_before * (1 - alpha): exp(lg) == 1 - alpha
+            # exactly, so this saves a second full-window transcendental
+            incl_lin = excl_lin * (1.0 - alpha)
             keep = (incl_lin >= T_EPS).astype(jnp.float32)
             wgt = jnp.where(ok, alpha * excl_lin, 0.0) * keep
-            vals_ext = _vals_ext_rows(block_t, n_val, n_packed)
+            vals_ext = _vals_ext_rows(block_t, n_val, n_packed,
+                                       with_color)
             g_ext = g_ref[0, :, tx, :, :].reshape(PIX, 1 + n_val)
             q = _dot(g_ext, vals_ext)  # (PIX, chunk)
             qw = q * wgt
@@ -935,7 +950,7 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
 
 def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
                   interpret, g_lo=None, rows_local=None,
-                  with_residuals=True, n_packed=0):
+                  with_residuals=True, n_packed=0, with_color=True):
     """Composite forward. With g_lo/rows_local set, renders only the
     tile-row slab whose groups are [g_lo, g_lo + rows_local*gxn) — the
     per-device slice of the sharded renderer (g_lo may be traced).
@@ -1000,7 +1015,7 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
     kernel = functools.partial(_fwd_group_kernel, n_val=n_val, tw=tw,
                                gxn=gxn, num_tiles=num_tiles,
                                with_residuals=with_residuals,
-                               n_packed=n_packed)
+                               n_packed=n_packed, with_color=with_color)
     out = pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -1016,7 +1031,7 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
 
 def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
                    n_val, interpret, g_lo=None, rows_local=None,
-                   n_packed=0, emit_grads=True):
+                   n_packed=0, with_color=True, emit_grads=True):
     """Gradient kernel: (slot_cap, f_pad) ROW-MAJOR per-slot gradients.
 
     logt_stop / stop are the forward's per-tile residuals (local to
@@ -1081,6 +1096,7 @@ def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
     kernel = functools.partial(_bwd_group_kernel, n_val=n_val, tw=tw,
                                gxn=gxn, num_tiles=num_tiles,
                                f_pad=f_pad, n_packed=n_packed,
+                               with_color=with_color,
                                emit_grads=emit_grads)
     out = pl.pallas_call(
         kernel,
@@ -1178,52 +1194,57 @@ def pallas_composite(static_cfg, payload, sorted_pid, slot_of_sorted,
     partial per-gaussian gradients that sum exactly across devices
     (the transpose of the projection all-gather does the psum).
     """
-    num_tiles, tw, n_val, interpret, rows_local, n_packed = _pc_cfg(
-        static_cfg)
+    (num_tiles, tw, n_val, interpret, rows_local, n_packed,
+     with_color) = _pc_cfg(static_cfg)
     if n_packed:
-        payload = pack_feature_rows(payload, n_val, n_packed)
+        payload = pack_feature_rows(payload, n_val, n_packed, with_color)
     ps_t = _gather_pairs(payload, sorted_pid)
     out, _, _ = _forward_impl(ps_t, layout, num_tiles=num_tiles, tw=tw,
                               n_val=n_val, interpret=interpret,
                               g_lo=g_lo, rows_local=rows_local,
-                              with_residuals=False, n_packed=n_packed)
+                              with_residuals=False, n_packed=n_packed,
+                              with_color=with_color)
     return out
 
 
 def _pc_cfg(static_cfg):
-    # (num_tiles, tw, n_val, interpret[, rows_local[, n_packed]])
+    # (num_tiles, tw, n_val, interpret[, rows_local[, n_packed
+    #  [, with_color]]])
     if len(static_cfg) == 4:
-        return (*static_cfg, None, 0)
+        return (*static_cfg, None, 0, True)
     if len(static_cfg) == 5:
-        return (*static_cfg, 0)
+        return (*static_cfg, 0, True)
+    if len(static_cfg) == 6:
+        return (*static_cfg, True)
     return static_cfg
 
 
 def _pc_fwd(static_cfg, payload, sorted_pid, slot_of_sorted, layout,
             g_lo=None):
-    num_tiles, tw, n_val, interpret, rows_local, n_packed = _pc_cfg(
-        static_cfg)
+    (num_tiles, tw, n_val, interpret, rows_local, n_packed,
+     with_color) = _pc_cfg(static_cfg)
     n_rows = payload.shape[0]
     if n_packed:
-        payload = pack_feature_rows(payload, n_val, n_packed)
+        payload = pack_feature_rows(payload, n_val, n_packed, with_color)
     ps_t = _gather_pairs(payload, sorted_pid)
     out, logt_stop, stop = _forward_impl(
         ps_t, layout, num_tiles=num_tiles, tw=tw, n_val=n_val,
         interpret=interpret, g_lo=g_lo, rows_local=rows_local,
-        n_packed=n_packed)
+        n_packed=n_packed, with_color=with_color)
     return out, (ps_t, sorted_pid, slot_of_sorted, layout,
                  n_rows, logt_stop, stop, g_lo)
 
 
 def _pc_bwd(static_cfg, res, g):
-    num_tiles, tw, n_val, interpret, rows_local, n_packed = _pc_cfg(
-        static_cfg)
+    (num_tiles, tw, n_val, interpret, rows_local, n_packed,
+     with_color) = _pc_cfg(static_cfg)
     (ps_t, sorted_pid, slot_of_sorted, layout, n_rows, logt_stop, stop,
      g_lo) = res
     dpay = _backward_impl(ps_t, layout, g, logt_stop, stop,
                           num_tiles=num_tiles, tw=tw, n_val=n_val,
                           interpret=interpret, g_lo=g_lo,
-                          rows_local=rows_local, n_packed=n_packed)
+                          rows_local=rows_local, n_packed=n_packed,
+                          with_color=with_color)
     dpayload = unsort_slot_gradients(dpay, sorted_pid, slot_of_sorted,
                                      n_rows)
     return dpayload, None, None, None, None
@@ -1259,7 +1280,8 @@ pallas_composite.defvjp(_pc_fwd, _pc_bwd)
 
 
 def build_payload(proj: ProjectedGaussians,
-                  extra_channels: jnp.ndarray | None):
+                  extra_channels: jnp.ndarray | None,
+                  with_color: bool = True):
     """Sanitized (N + 1, f_pad) per-gaussian payload table + n_val.
 
     Invalid rows are zeroed (keeps garbage projections from poisoning
@@ -1267,7 +1289,8 @@ def build_payload(proj: ProjectedGaussians,
     the kernels work in log space and the log's VJP (1/op chain)
     happens here in XLA. Row 6 is the constant ONE that folds the
     alpha-total into the channel matmul; a dead row (alpha == 0) is
-    appended last for the layout's padding slots.
+    appended last for the layout's padding slots. with_color=False
+    drops the rgb and depth value rows (the FEATURE-phase fast path).
     """
     n = proj.mean2d.shape[0]
     vmask = proj.valid
@@ -1275,10 +1298,11 @@ def build_payload(proj: ProjectedGaussians,
     log_op = jnp.log(jnp.maximum(opacity, 1e-38))
     mean2d = jnp.where(vmask[:, None], proj.mean2d, 0.0)
     conic = jnp.where(vmask[:, None], proj.conic, 0.0)
-    val_cols = [proj.color]
+    val_cols = [proj.color] if with_color else []
     if extra_channels is not None:
         val_cols.append(extra_channels)
-    val_cols.append(proj.depth[:, None])
+    if with_color:
+        val_cols.append(proj.depth[:, None])
     vals = jnp.concatenate(val_cols, axis=1)
     n_val = vals.shape[1]
     f = GEOM_COLS + n_val
@@ -1299,44 +1323,58 @@ def rasterize_tiled_pallas(
     image_width: int,
     cfg: RasterConfig = RasterConfig(),
     interpret: bool = False,
+    with_color: bool = True,
 ):
     """Drop-in replacement for ops.rasterize.rasterize_tiled (fwd + bwd).
 
     Same outputs: render (3,H,W), feats (F,H,W) when extra_channels is
     given, depth (1,H,W), alpha (1,H,W), overflow (scalar).
+
+    with_color=False (requires extra_channels) composites ONLY the
+    feature channels + alpha — the FEATURE-phase fast path: the rgb
+    and depth rows carry zero cotangent in the contrastive loss, so
+    dropping them is gradient-exact while cutting the payload stream
+    (48 -> 40 rows unpacked; 32 -> 24 packed) and both kernels' value
+    matmuls.
     """
+    if not with_color and extra_channels is None:
+        raise ValueError("with_color=False requires extra_channels")
     th, tw = _tile_grid(image_height, image_width)
     num_tiles = th * tw
     sorted_pid, slot_of_sorted, layout, overflow = build_window_layout(
         proj, image_height, image_width, cfg)
 
-    payload, n_val = build_payload(proj, extra_channels)
+    payload, n_val = build_payload(proj, extra_channels, with_color)
 
     n_packed = 0
     if (cfg.pack_features and extra_channels is not None
             and extra_channels.shape[1] % 2 == 0):
         n_packed = extra_channels.shape[1] // 2
     out = pallas_composite(
-        (num_tiles, tw, n_val, interpret, None, n_packed), payload,
-        sorted_pid, slot_of_sorted, layout
+        (num_tiles, tw, n_val, interpret, None, n_packed, with_color),
+        payload, sorted_pid, slot_of_sorted, layout
     )  # (th, 16, gxn*16, 16, 1 + n_val) — image patches
     gxt = out.shape[2] * TILE
     hwc = out.reshape(th * TILE, gxt, n_val + 1)[
         :image_height, :image_width]  # free reshape + slice
     acc = hwc[..., 0]
-    rgb = (hwc[..., 1:4]
-           + (1.0 - acc)[..., None] * bg_color[None, None, :])
     result = {
-        "render": rgb.transpose(2, 0, 1),
-        "depth": hwc[..., -1][None],
         "alpha": acc[None],
         "overflow": overflow[0],
         "overflow_half": overflow[1],
     }
+    if with_color:
+        rgb = (hwc[..., 1:4]
+               + (1.0 - acc)[..., None] * bg_color[None, None, :])
+        result["render"] = rgb.transpose(2, 0, 1)
+        result["depth"] = hwc[..., -1][None]
+    feats_hwc = None
     if extra_channels is not None:
+        feats_hwc = hwc[..., 4:-1] if with_color else hwc[..., 1:]
+    if feats_hwc is not None:
         # hwc is the kernel-native layout; the CHW transpose costs
         # ~170 MB each way at 1K/32ch, so expose both and let jit
         # dead-code-eliminate whichever the consumer ignores
-        result["feats_hwc"] = hwc[..., 4:-1]
-        result["feats"] = hwc[..., 4:-1].transpose(2, 0, 1)
+        result["feats_hwc"] = feats_hwc
+        result["feats"] = feats_hwc.transpose(2, 0, 1)
     return result

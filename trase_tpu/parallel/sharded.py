@@ -33,6 +33,7 @@ from ..ops import rasterize as RT
 from ..ops import rasterize_pallas as RP
 from ..ops.projection import CameraBuffers, compute_cov3d, project_gaussians
 from ..ops.ssim import ssim
+from ..engine import trainer as T
 
 AXIS = "gauss"
 
@@ -132,7 +133,7 @@ def _gathered_projection(params_shard, alive_shard, d_xyz, d_rot, d_scale,
 
 
 def _composite_my_tiles(proj, extra, bg_color, H, W, cfg: RT.RasterConfig,
-                        n_shards: int):
+                        n_shards: int, with_color: bool = True):
     """Tile-parallel compositing: this device composites its slice of
     tile batches, then tiles are all-gathered into the full image."""
     th, tw = RT._tile_grid(H, W)
@@ -141,10 +142,11 @@ def _composite_my_tiles(proj, extra, bg_color, H, W, cfg: RT.RasterConfig,
         proj, H, W, cfg)
 
     opacity = jnp.where(proj.valid, proj.opacity, 0.0)
-    chans = [proj.color]
+    chans = [proj.color] if with_color else []
     if extra is not None:
         chans.append(extra)
-    chans.append(proj.depth[:, None])
+    if with_color:
+        chans.append(proj.depth[:, None])
     gdata = jnp.concatenate(chans, axis=1)
     C = gdata.shape[1]
 
@@ -181,19 +183,23 @@ def _composite_my_tiles(proj, extra, bg_color, H, W, cfg: RT.RasterConfig,
     acc = acc.transpose(0, 2, 1, 3).reshape(th * RT.TILE, tw * RT.TILE)
     acc = acc[:H, :W]
 
-    rgb = out[:3] + (1.0 - acc)[None] * bg_color[:, None, None]
-    result = {"render": rgb, "depth": out[-1:], "alpha": acc[None],
+    result = {"alpha": acc[None],
               "overflow": overflow,
               # K//2 would-drop prediction exists only on the pallas
               # path; -1 disables the trainer's de-escalation here
               "overflow_half": jnp.float32(-1.0)}
+    if with_color:
+        rgb = out[:3] + (1.0 - acc)[None] * bg_color[:, None, None]
+        result["render"] = rgb
+        result["depth"] = out[-1:]
     if extra is not None:
-        result["feats"] = out[3:-1]
+        result["feats"] = out[3:-1] if with_color else out
     return result
 
 
 def _composite_my_rows_pallas(proj, extra, bg_color, H, W,
-                              cfg: RT.RasterConfig, n_shards: int):
+                              cfg: RT.RasterConfig, n_shards: int,
+                              with_color: bool = True):
     """Tile-ROW-parallel Pallas compositing, fully differentiable:
     each device renders its slab of tile rows with the span-roll
     forward kernel (the binning / payload stages run replicated on the
@@ -212,7 +218,7 @@ def _composite_my_rows_pallas(proj, extra, bg_color, H, W,
     h_pad = rows_pad * RP.TILE
     sorted_pid, slot_of_sorted, layout, overflow = RP.build_window_layout(
         proj, h_pad, W, cfg)
-    payload, n_val = RP.build_payload(proj, extra)
+    payload, n_val = RP.build_payload(proj, extra, with_color)
     n_packed = 0
     if (cfg.pack_features and extra is not None
             and extra.shape[1] % 2 == 0):
@@ -222,22 +228,25 @@ def _composite_my_rows_pallas(proj, extra, bg_color, H, W,
     g_lo = my * rows_local * gxn
     interp = not jax.default_backend().startswith("tpu")
     slab = RP.pallas_composite(
-        (rows_pad * tw, tw, n_val, interp, rows_local, n_packed),
+        (rows_pad * tw, tw, n_val, interp, rows_local, n_packed,
+         with_color),
         payload, sorted_pid, slot_of_sorted, layout, g_lo)
     full = jax.lax.all_gather(slab, AXIS, axis=0, tiled=True)
     gxt = full.shape[2] * RP.TILE
     hwc = full.reshape(rows_pad * RP.TILE, gxt, n_val + 1)[:H, :W]
     acc = hwc[..., 0]
-    rgb = (hwc[..., 1:4]
-           + (1.0 - acc)[..., None] * bg_color[None, None, :])
-    result = {"render": rgb.transpose(2, 0, 1),
-              "depth": hwc[..., -1][None],
-              "alpha": acc[None],
+    result = {"alpha": acc[None],
               "overflow": overflow[0],
               "overflow_half": overflow[1]}
+    if with_color:
+        rgb = (hwc[..., 1:4]
+               + (1.0 - acc)[..., None] * bg_color[None, None, :])
+        result["render"] = rgb.transpose(2, 0, 1)
+        result["depth"] = hwc[..., -1][None]
     if extra is not None:
-        result["feats"] = hwc[..., 4:-1].transpose(2, 0, 1)
-        result["feats_hwc"] = hwc[..., 4:-1]
+        fh = hwc[..., 4:-1] if with_color else hwc[..., 1:]
+        result["feats"] = fh.transpose(2, 0, 1)
+        result["feats_hwc"] = fh
     return result
 
 
@@ -455,6 +464,7 @@ def make_sharded_gaussian_step(
         metrics = {"loss": loss, "l1": ll1, "finite": finite,
                    "overflow": overflow,
                    "overflow_half": overflow_half}
+        metrics["packed"] = T.pack_metrics(metrics)
         return new_state, metrics
 
     def specs_for_state(state: TrainState) -> TrainState:
@@ -676,7 +686,10 @@ def make_sharded_feature_step(
             extra_full = jax.lax.all_gather(local_rows, AXIS, axis=0,
                                             tiled=True)
             out = compositor(
-                proj, extra_full, bg_color, H, W, raster_cfg, n_shards)
+                proj, extra_full, bg_color, H, W, raster_cfg, n_shards,
+                with_color=False)  # FEATURE fast path: rgb/depth carry
+            # zero cotangent here; dropping them is gradient-exact
+            # (tests/test_rasterize_pallas.py::TestFeaturesOnly)
             feats = out["feats"]  # (F, H, W), replicated
             norm_per_px = jnp.sqrt(jnp.sum(feats * feats, axis=0) + 1e-12)
             rf_norm = norm_per_px.mean()
@@ -733,6 +746,7 @@ def make_sharded_feature_step(
         metrics = {"loss": loss, "finite": finite, "rfn": rf_norm,
                    "overflow": overflow,
                    "overflow_half": overflow_half}
+        metrics["packed"] = T.pack_metrics(metrics)
         return new_state, metrics
 
     def specs_for_state(state: TrainState) -> TrainState:

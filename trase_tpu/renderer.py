@@ -41,16 +41,20 @@ def default_backend() -> str:
     return "pallas" if jax.default_backend().startswith("tpu") else "dense"
 
 
-def _rasterize(backend, proj, extra, bg_color, H, W, cfg):
+def _rasterize(backend, proj, extra, bg_color, H, W, cfg,
+               with_color=True):
     if backend is None:
         backend = default_backend()
     if backend == "pallas":
-        return RTP.rasterize_tiled_pallas(proj, extra, bg_color, H, W, cfg)
+        return RTP.rasterize_tiled_pallas(proj, extra, bg_color, H, W,
+                                          cfg, with_color=with_color)
     if backend == "pallas_interpret":
-        return RTP.rasterize_tiled_pallas(proj, extra, bg_color, H, W, cfg,
-                                          interpret=True)
+        return RTP.rasterize_tiled_pallas(proj, extra, bg_color, H, W,
+                                          cfg, interpret=True,
+                                          with_color=with_color)
     if backend == "dense":
-        return RT.rasterize_tiled(proj, extra, bg_color, H, W, cfg)
+        return RT.rasterize_tiled(proj, extra, bg_color, H, W, cfg,
+                                  with_color=with_color)
     raise ValueError(f"unknown rasterizer backend: {backend}")
 
 
@@ -125,6 +129,7 @@ def render(
     smooth_dropout: float = 0.5,
     mean2d_offset: jnp.ndarray | None = None,
     with_features: bool = True,
+    with_color: bool = True,
     raster_cfg: RT.RasterConfig = RT.RasterConfig(),
     backend: str | None = None,
 ):
@@ -134,8 +139,16 @@ def render(
     (False = removed, reference `render(mask=...)`); `smooth_map`: (C,K)
     neighbor indices to enable feature smoothing; `mean2d_offset`: (C,2)
     zeros whose gradient is the densification signal.
+
+    `with_color=False` (requires with_features) composites only the 32
+    feature channels + alpha — the FEATURE-phase fast path. The output
+    dict then has no `render`/`depth` keys; SH evaluation is skipped
+    entirely. Gradient-exact for losses that touch only the features
+    (the reference's FEATURE phase, train.py:244-296).
     """
     H, W = camera.image_height, camera.image_width
+    if not with_color and not with_features:
+        raise ValueError("with_color=False requires with_features=True")
 
     means3d, scales, rots = apply_deformation(
         params, d_xyz, d_rotation, d_scaling, is_6dof
@@ -147,7 +160,15 @@ def render(
 
     cov3d = compute_cov3d(scales, rots, scaling_modifier)
 
-    if override_color is not None:
+    if not with_color:
+        # color is never composited: skip the SH evaluation entirely
+        # (a zero placeholder keeps ProjectedGaussians total)
+        proj = project_gaussians(
+            means3d, cov3d, opacity, camera.buffers, H, W,
+            colors_precomp=jnp.zeros((means3d.shape[0], 3),
+                                     means3d.dtype),
+        )
+    elif override_color is not None:
         proj = project_gaussians(
             means3d, cov3d, opacity, camera.buffers, H, W,
             colors_precomp=override_color,
@@ -175,19 +196,21 @@ def render(
             )
         extra = feats
 
-    out = _rasterize(backend, proj, extra, bg_color, H, W, raster_cfg)
+    out = _rasterize(backend, proj, extra, bg_color, H, W, raster_cfg,
+                     with_color=with_color)
 
     result = {
-        "render": out["render"],
         "visibility_filter": proj.radius > 0,
         "radii": proj.radius,
-        "depth": out["depth"],
         "alpha": out["alpha"],
         "overflow": out["overflow"],
         # would-drop count at K//2 (pallas backend only): feeds the
         # trainer's pair-budget de-escalation; -1 = not available
         "overflow_half": out.get("overflow_half", jnp.float32(-1.0)),
     }
+    if with_color:
+        result["render"] = out["render"]
+        result["depth"] = out["depth"]
     if with_features:
         result["render_gaussian_features"] = out["feats"]
         result["render_gaussian_features_hwc"] = out["feats_hwc"]
