@@ -72,6 +72,8 @@ def main(argv=None):
     buckets = defaultdict(float)
     counts = defaultdict(int)
 
+    series = defaultdict(list)
+
     def wrap(name, fn):
         def inner(*a, **kw):
             t0 = time.perf_counter()
@@ -79,6 +81,7 @@ def main(argv=None):
             dt = time.perf_counter() - t0
             buckets[name] += dt
             counts[name] += 1
+            series[name].append(dt)
             return r
         return inner
 
@@ -102,6 +105,16 @@ def main(argv=None):
                         ("_gaussian_step", "_feature_step", "_densify",
                          "_consume_metrics"))
     print(f"  {'(other host)':20s} {other:8.2f}s")
+    for name in ("_gaussian_step", "_feature_step"):
+        s = sorted(series[name])
+        if len(s) >= 20:
+            import numpy as _np
+
+            tail = series[name][-50:]
+            print(f"  {name} steady-state: median "
+                  f"{1000 * s[len(s) // 2]:.1f} ms  p90 "
+                  f"{1000 * s[int(len(s) * 0.9)]:.1f} ms  last-50 avg "
+                  f"{1000 * _np.mean(tail):.1f} ms")
     print(json.dumps({"iters_per_s": round(it / total, 2),
                       **{k: round(v, 2) for k, v in buckets.items()}}))
 
