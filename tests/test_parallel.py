@@ -264,3 +264,51 @@ def test_sharded_feature_step_matches_single(small_scene):
     # only gaussian_features moved
     np.testing.assert_allclose(np.asarray(multi_state.params.xyz),
                                np.asarray(state.params.xyz))
+
+
+def test_sharded_step_specs_trace(small_scene):
+    """Trace-only (no compile) build of BOTH sharded steps.
+
+    Fast regression cover for the driver-facing dryrun_multichip
+    surface: shard_map validates its out_specs pytree against the
+    body's actual outputs at TRACE time, so a metrics key added to
+    the step body but not to out_specs (the round-4 `packed` bug)
+    fails here without paying the slow-marked tests' compile."""
+    from trase_tpu.engine import trainer as T
+    from trase_tpu.models.deform import init_deform, make_deform_network
+    from trase_tpu.ops.rasterize import RasterConfig
+    from trase_tpu.parallel import (
+        make_mesh, make_sharded_feature_step, make_sharded_gaussian_step,
+    )
+    from trase_tpu.parallel.sharded import shard_train_state
+    from trase_tpu.renderer import make_render_camera
+
+    params, aux = small_scene
+    mesh = make_mesh(8)
+    H = W = 48
+    hm = wm = 24
+    net = make_deform_network("DeformNetwork")
+    dvars = init_deform(jax.random.PRNGKey(0), net)
+    state = shard_train_state(
+        mesh, T.init_train_state(params, aux, dvars))
+    cam = make_render_camera(np.eye(3), np.zeros(3), 0.8, 0.8, H, W)
+    cfg = RasterConfig(pairs_per_gaussian=4, max_per_tile=128,
+                       tile_batch=2)
+    lrs = T.LearningRates(*[jnp.float32(1e-3)] * 8)
+
+    gstep = make_sharded_gaussian_step(
+        mesh, net, H, W, sh_degree=1, use_deform=True,
+        raster_cfg=cfg)(state)
+    gt = jnp.zeros((3, H, W), jnp.float32)
+    gstep.lower(state, cam.buffers, gt, jnp.float32(0.5),
+                jnp.float32(0.0), lrs, jnp.zeros(3))
+
+    fstep = make_sharded_feature_step(
+        mesh, net, H, W, sh_degree=1, use_deform=True,
+        mask_hw=(hm, wm), num_sampled_pixels=64, num_sampled_masks=4,
+        raster_cfg=cfg)(state)
+    masks = jnp.zeros((4, hm, wm), jnp.float32)
+    fstep.lower(state, cam.buffers, masks, jnp.ones((4,), bool),
+                jnp.float32(0.5), jax.random.PRNGKey(7), lrs,
+                jnp.zeros(3),
+                jnp.zeros((params.xyz.shape[0], 1), jnp.int32))

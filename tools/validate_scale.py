@@ -222,11 +222,26 @@ def main(argv=None):
     if not os.path.exists(os.path.join(data_dir, "transforms_train.json")):
         print(f"[validate_scale] writing {args.image_size}px dataset "
               f"({args.n_blobs} blobs x {args.pts_per_blob} pts)...")
-        write_synthetic_dataset(
-            data_dir, n_train=args.n_train, n_test=args.n_test,
-            image_size=args.image_size, n_blobs=args.n_blobs,
-            pts_per_blob=args.pts_per_blob, seed=args.seed,
-            fast_gt=args.image_size > 256)
+        # ALWAYS generate in a CPU-platform subprocess: the generator's
+        # GT compositing is un-jitted, and per-op dispatch through the
+        # axon tunnel is ~100x slower than host CPU (a 1008px dataset
+        # that takes minutes on CPU showed zero images after 25 min on
+        # the tunnel). The training process itself must stay on the
+        # default (TPU) platform, and JAX pins its platform at first
+        # init — hence a subprocess, not a flag.
+        import subprocess
+        code = (
+            "from trase_tpu.data.synthetic import write_synthetic_dataset;"
+            f"write_synthetic_dataset({data_dir!r}, n_train={args.n_train},"
+            f" n_test={args.n_test}, image_size={args.image_size},"
+            f" n_blobs={args.n_blobs}, pts_per_blob={args.pts_per_blob},"
+            f" seed={args.seed}, fast_gt={args.image_size > 256})"
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
     t_data = time.perf_counter() - t0
 
     dataset = ModelParams(source_path=data_dir, model_path=model_dir,

@@ -11,6 +11,7 @@ weak-supervision signal.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 
@@ -84,37 +85,55 @@ def render_gt(scene: dict, t: float, R, T, fovx, fovy, h, w,
     """
     import jax.numpy as jnp
 
-    from ..ops.projection import compute_cov3d, project_gaussians
-    from ..ops.rasterize_ref import rasterize_reference
     from ..renderer import make_render_camera
 
     cam = make_render_camera(R.T, T, fovx, fovy, h, w)
     xyz = jnp.asarray(deform_blobs(scene, t))
-    n = xyz.shape[0]
-    scales = jnp.full((n, 3), scene["scale"])
-    rots = jnp.zeros((n, 4)).at[:, 0].set(1.0)
-    cov3d = compute_cov3d(scales, rots)
-    opac = jnp.full((n,), scene["opacity"])
-    proj = project_gaussians(
-        xyz, cov3d, opac, cam.buffers, h, w,
-        colors_precomp=jnp.asarray(scene["rgb"]),
-    )
     blob_onehot = jnp.asarray(
         np.eye(scene["centers"].shape[0], dtype=np.float32)[scene["blob_id"]]
     )
-    if fast:
-        from ..ops.rasterize import RasterConfig, rasterize_tiled
+    fn = _gt_fn(xyz.shape[0], blob_onehot.shape[1], h, w, fast)
+    out_render, cov_feats = fn(
+        xyz, jnp.asarray(scene["rgb"]), jnp.float32(scene["scale"]),
+        jnp.float32(scene["opacity"]), blob_onehot, cam.buffers,
+        jnp.asarray(bg, jnp.float32))
+    masks = np.asarray(cov_feats) > 0.3  # (B, H, W)
+    return np.asarray(out_render), masks
 
-        cfg = RasterConfig()
-        out = rasterize_tiled(proj, None, jnp.asarray(bg, jnp.float32),
-                              h, w, cfg)
-        cov = rasterize_tiled(proj, blob_onehot, jnp.asarray(bg), h, w, cfg)
-    else:
-        out = rasterize_reference(proj, None, jnp.asarray(bg, jnp.float32),
-                                  h, w)
-        cov = rasterize_reference(proj, blob_onehot, jnp.asarray(bg), h, w)
-    masks = np.asarray(cov["feats"]) > 0.3  # (B, H, W)
-    return np.asarray(out["render"]), masks
+
+@functools.lru_cache(maxsize=4)
+def _gt_fn(n: int, n_blobs: int, h: int, w: int, fast: bool):
+    """Jitted GT project+composite, cached per shape. Un-jitted, each
+    view paid per-op dispatch (ruinous through a device tunnel: a
+    1008px view took ~2 min even on host CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.projection import compute_cov3d, project_gaussians
+    from ..ops.rasterize_ref import rasterize_reference
+
+    def run(xyz, rgb, scale, opacity, onehot, buffers, bg):
+        from ..renderer import RenderCamera
+
+        cam = RenderCamera(buffers, h, w)
+        scales = jnp.full((n, 3), scale)
+        rots = jnp.zeros((n, 4)).at[:, 0].set(1.0)
+        cov3d = compute_cov3d(scales, rots)
+        opac = jnp.full((n,), opacity)
+        proj = project_gaussians(xyz, cov3d, opac, cam.buffers, h, w,
+                                 colors_precomp=rgb)
+        if fast:
+            from ..ops.rasterize import RasterConfig, rasterize_tiled
+
+            cfg = RasterConfig()
+            out = rasterize_tiled(proj, None, bg, h, w, cfg)
+            cov = rasterize_tiled(proj, onehot, bg, h, w, cfg)
+        else:
+            out = rasterize_reference(proj, None, bg, h, w)
+            cov = rasterize_reference(proj, onehot, bg, h, w)
+        return out["render"], cov["feats"]
+
+    return jax.jit(run)
 
 
 def write_synthetic_dataset(

@@ -488,7 +488,8 @@ def make_sharded_gaussian_step(
                       lr_specs, P()),
             out_specs=(in_state_specs,
                        {"loss": P(), "l1": P(), "finite": P(),
-                        "overflow": P(), "overflow_half": P()}),
+                        "overflow": P(), "overflow_half": P(),
+                        "packed": P()}),
             check_vma=False,
         )
         return jax.jit(fn)
@@ -770,7 +771,8 @@ def make_sharded_feature_step(
                       lr_specs, P(), P(AXIS)),
             out_specs=(in_state_specs,
                        {"loss": P(), "finite": P(), "rfn": P(),
-                        "overflow": P(), "overflow_half": P()}),
+                        "overflow": P(), "overflow_half": P(),
+                        "packed": P()}),
             check_vma=False,
         )
         return jax.jit(fn)
