@@ -267,3 +267,78 @@ class TestGradients:
         np.testing.assert_allclose(
             np.asarray(g_ref[1]), np.asarray(g_til[1]), atol=1e-5
         )
+
+
+class TestExtentCull:
+    """The exact-support AABB cull (projection.ProjectedGaussians.extent)
+    must cut pair count without changing any output: dropped tiles are
+    exactly those where every pixel has alpha < ALPHA_EPS, which all
+    backends zero out anyway."""
+
+    def _proj(self, H=64, W=80, n=120, seed=7):
+        rng = np.random.default_rng(seed)
+        means = rng.uniform(-1.5, 1.5, size=(n, 3)).astype(np.float32)
+        # strongly anisotropic scales + a wide opacity range incl. the
+        # near-transparent splats the cull helps most
+        scales = np.stack([
+            rng.uniform(0.02, 0.1, n), rng.uniform(0.2, 0.6, n),
+            rng.uniform(0.05, 0.2, n)], 1).astype(np.float32)
+        quats = rng.normal(size=(n, 4)).astype(np.float32)
+        colors = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
+        opac = np.concatenate([
+            rng.uniform(0.004, 0.05, n // 2),
+            rng.uniform(0.3, 0.99, n - n // 2)]).astype(np.float32)
+        feats = rng.normal(size=(n, 8)).astype(np.float32)
+        cam = make_camera(H, W)
+        return project(means, scales, quats, colors, opac, cam, H, W), \
+            jnp.asarray(feats), H, W
+
+    def test_extent_is_tighter_and_consistent(self):
+        proj, _, H, W = self._proj()
+        ex = np.asarray(proj.extent)
+        rad = np.asarray(proj.radius)
+        valid = np.asarray(proj.valid)
+        assert (ex[valid] <= rad[valid, None] + 1e-5).all()
+        th, tw = R._tile_grid(H, W)
+        _, _, _, count_ext = R._tile_rects(proj, th, tw)
+        _, _, _, count_rad = R._tile_rects(
+            proj._replace(extent=None), th, tw)
+        n_ext = int(jnp.sum(count_ext))
+        n_rad = int(jnp.sum(count_rad))
+        assert n_ext <= n_rad
+        assert n_ext < 0.8 * n_rad, (n_ext, n_rad)  # a real cut
+
+    @pytest.mark.parametrize("backend", ["dense", "pallas_interpret"])
+    def test_outputs_unchanged(self, backend):
+        from trase_tpu.renderer import _rasterize
+
+        proj, feats, H, W = self._proj()
+        bg = jnp.asarray([0.1, 0.2, 0.3])
+        cfg = R.RasterConfig(pairs_per_gaussian=16, max_per_tile=512,
+                             tile_batch=8)
+        a = _rasterize(backend, proj, feats, bg, H, W, cfg)
+        b = _rasterize(backend, proj._replace(extent=None), feats, bg,
+                       H, W, cfg)
+        for key in ("render", "feats", "depth", "alpha"):
+            np.testing.assert_allclose(
+                np.asarray(a[key]), np.asarray(b[key]),
+                atol=2e-6, err_msg=f"{backend}:{key}")
+
+    def test_grads_unchanged_dense(self):
+        proj, feats, H, W = self._proj(H=48, W=48, n=60)
+        bg = jnp.zeros(3)
+        cfg = R.RasterConfig(pairs_per_gaussian=16, max_per_tile=512,
+                             tile_batch=8)
+        gt = jnp.asarray(np.random.default_rng(0).uniform(
+            size=(3, H, W)).astype(np.float32))
+
+        def loss(p, extent_on):
+            pr = proj._replace(mean2d=p,
+                               extent=proj.extent if extent_on else None)
+            out = R.rasterize_tiled(pr, feats, bg, H, W, cfg)
+            return jnp.abs(out["render"] - gt).mean()
+
+        g_on = jax.grad(loss)(proj.mean2d, True)
+        g_off = jax.grad(loss)(proj.mean2d, False)
+        np.testing.assert_allclose(np.asarray(g_on), np.asarray(g_off),
+                                   atol=2e-6)

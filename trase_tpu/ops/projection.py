@@ -19,8 +19,15 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.sh import C0, C1, C2, C3
+
+# Minimum contributing alpha. Defined HERE (not rasterize_ref, which
+# re-exports it) because the extent cull below and every backend's
+# alpha threshold must be the same constant: the cull drops tiles that
+# the kernels would zero anyway (reference CUDA forward.cu's 1/255).
+ALPHA_EPS = 1.0 / 255.0
 
 
 class CameraBuffers(NamedTuple):
@@ -41,6 +48,14 @@ class ProjectedGaussians(NamedTuple):
     color: jnp.ndarray  # (N,3) RGB from SH (or precomputed)
     opacity: jnp.ndarray  # (N,)
     valid: jnp.ndarray  # (N,) bool visibility
+    # (N,2) half-extents (px) of the exact contributing support's AABB:
+    # alpha >= ALPHA_EPS only inside the ellipse q <= 2(log op - log
+    # ALPHA_EPS), whose AABB is (sqrt(t*cov00), sqrt(t*cov11)). Every
+    # backend composites exactly zero (with zero gradient) outside it,
+    # so tile binning with this box instead of the circular 3-sigma
+    # `radius` square is output-exact while cutting the pair count for
+    # anisotropic and low-opacity splats. None => use `radius`.
+    extent: jnp.ndarray | None = None
 
 
 def compute_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
@@ -212,6 +227,19 @@ def project_gaussians(
     valid = valid & in_image
     radius = jnp.where(valid, radius, 0.0)
 
+    # Exact-support AABB (see ProjectedGaussians.extent). Clipped to
+    # `radius` so the existing >3-sigma truncation semantics (and the
+    # stored goldens) are preserved exactly: the binned tile set is a
+    # subset of the radius square, and every dropped tile satisfies
+    # q > t at all its pixels, i.e. contributes exactly zero alpha and
+    # zero gradient under the kernels' ALPHA_EPS threshold.
+    t_sup = 2.0 * (jnp.log(jnp.maximum(opacities, 1e-38))
+                   - float(np.log(ALPHA_EPS)))
+    t_sup = jnp.maximum(t_sup, 0.0)
+    ex = jnp.minimum(jnp.sqrt(t_sup * jnp.maximum(a, 0.0)), radius)
+    ey = jnp.minimum(jnp.sqrt(t_sup * jnp.maximum(c, 0.0)), radius)
+    extent = jnp.where(valid[:, None], jnp.stack([ex, ey], axis=1), 0.0)
+
     if colors_precomp is not None:
         color = colors_precomp
     else:
@@ -251,4 +279,5 @@ def project_gaussians(
         color=color,
         opacity=opacities,
         valid=valid,
+        extent=extent,
     )

@@ -79,16 +79,26 @@ def _tile_grid(image_height: int, image_width: int):
 
 
 def _tile_rects(proj: ProjectedGaussians, th: int, tw: int):
-    """Per-gaussian covered tile rectangle, CUDA getRect semantics."""
-    r = proj.radius
+    """Per-gaussian covered tile rectangle.
+
+    CUDA getRect semantics, but over the exact-support AABB
+    (ProjectedGaussians.extent) when available instead of the circular
+    3-sigma square — a strict subset whose dropped tiles composite
+    exactly zero in every backend, so this is free pair-count
+    reduction, not an approximation."""
     x, y = proj.mean2d[:, 0], proj.mean2d[:, 1]
-    tx0 = jnp.clip(jnp.floor((x - r) / TILE), 0, tw).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((y - r) / TILE), 0, th).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor((x + r) / TILE) + 1, 0, tw).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor((y + r) / TILE) + 1, 0, th).astype(jnp.int32)
+    if proj.extent is not None:
+        rx, ry = proj.extent[:, 0], proj.extent[:, 1]
+    else:
+        rx = ry = proj.radius
+    tx0 = jnp.clip(jnp.floor((x - rx) / TILE), 0, tw).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((y - ry) / TILE), 0, th).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((x + rx) / TILE) + 1, 0, tw).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((y + ry) / TILE) + 1, 0, th).astype(jnp.int32)
     w = jnp.maximum(tx1 - tx0, 0)
     h = jnp.maximum(ty1 - ty0, 0)
-    count = jnp.where(proj.valid & (proj.radius > 0), w * h, 0)
+    covered = proj.valid & (proj.radius > 0) & (rx > 0) & (ry > 0)
+    count = jnp.where(covered, w * h, 0)
     return tx0, ty0, w, count
 
 

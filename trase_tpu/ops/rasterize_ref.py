@@ -16,9 +16,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .projection import ProjectedGaussians
+from .projection import ALPHA_EPS, ProjectedGaussians
 
-ALPHA_EPS = 1.0 / 255.0
+__all_constants__ = ("ALPHA_EPS",)  # re-export: source of truth lives
+# in projection.py so the extent cull and the alpha thresholds can
+# never drift apart
 T_EPS = 1e-4
 ALPHA_MAX = 0.99
 
