@@ -217,3 +217,24 @@ def test_adam_row_mask_freezes_rows():
     assert np.all(np.asarray(p2)[1] == 1.0) and np.all(np.asarray(p2)[3] == 1.0)
     assert np.all(np.asarray(p2)[0] != 1.0)
     assert np.all(np.asarray(st2.mu)[1] == 0.0)
+
+
+def test_bilinear_sample_flat_matches_resize():
+    """bilinear_sample_flat == bilinear_resize-then-index (the FEATURE
+    step's sampled fast path must be value-identical to the reference's
+    full-image resample, incl. at border-clamped taps)."""
+    import jax.numpy as jnp
+
+    from trase_tpu.utils.image import bilinear_resize, bilinear_sample_flat
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(37, 53, 6)).astype(np.float32))
+    for oh, ow in ((19, 27), (37, 53), (74, 106)):
+        full = np.asarray(bilinear_resize(img, oh, ow)).reshape(-1, 6)
+        idx = rng.integers(0, oh * ow, size=200)
+        # make sure the borders (clamped taps) are covered
+        idx[:4] = [0, ow - 1, (oh - 1) * ow, oh * ow - 1]
+        got = np.asarray(bilinear_sample_flat(
+            img, jnp.asarray(idx, jnp.int32), oh, ow))
+        np.testing.assert_allclose(got, full[idx], atol=2e-6,
+                                   err_msg=f"{oh}x{ow}")

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..losses.contrastive import (
+    _cosine_gram,
     features_correspondence_matrix_hwc,
     negative_pixel_pair_loss,
     pixel_mask_correspondence_matrix,
@@ -470,12 +471,18 @@ def _feature_phase_body(
         hm, wm = mask_hw
         if feats.shape[:2] != (hm, wm):
             # torch-interpolate-equivalent bilinear (align_corners=False,
-            # NO antialias — jax.image.resize antialiases on downscale),
-            # matching reference train.py:284
-            from ..utils.image import bilinear_resize
+            # NO antialias), matching reference train.py:284 — but only
+            # at the P sampled pixels: the loss never reads the rest of
+            # the resized image, and the 4-tap gather is value- and
+            # association-identical to resize-then-index while skipping
+            # the full-image resize fwd AND its dense VJP
+            from ..utils.image import bilinear_sample_flat
 
-            feats = bilinear_resize(feats, hm, wm)
-        C_F = features_correspondence_matrix_hwc(feats, sample)
+            sampled = bilinear_sample_flat(feats, sample.pixel_idx,
+                                           hm, wm)
+            C_F = _cosine_gram(sampled)
+        else:
+            C_F = features_correspondence_matrix_hwc(feats, sample)
         pos = positive_pixel_pair_loss[contrastive_mode](
             C, C_F, sample, positive_th=positive_th, weights=weights
         )

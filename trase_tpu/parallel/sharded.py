@@ -193,7 +193,11 @@ def _composite_my_tiles(proj, extra, bg_color, H, W, cfg: RT.RasterConfig,
         result["render"] = rgb
         result["depth"] = out[-1:]
     if extra is not None:
-        result["feats"] = out[3:-1] if with_color else out
+        fh = out[3:-1] if with_color else out
+        result["feats"] = fh
+        # CHW here (this compositor's native layout); consumers that
+        # want channels-last pay the transpose only when they read it
+        result["feats_hwc"] = fh.transpose(1, 2, 0)
     return result
 
 
@@ -620,7 +624,6 @@ def make_sharded_feature_step(
     """
     from ..engine.trainer import LearningRates, TrainState
     from ..losses.contrastive import (
-        features_correspondence_matrix,
         negative_pixel_pair_loss,
         pixel_mask_correspondence_matrix,
         pixel_weights,
@@ -691,18 +694,31 @@ def make_sharded_feature_step(
                 with_color=False)  # FEATURE fast path: rgb/depth carry
             # zero cotangent here; dropping them is gradient-exact
             # (tests/test_rasterize_pallas.py::TestFeaturesOnly)
-            feats = out["feats"]  # (F, H, W), replicated
-            norm_per_px = jnp.sqrt(jnp.sum(feats * feats, axis=0) + 1e-12)
+            # kernel-native channels-last layout: the (F, H, W)
+            # transpose costs ~170 MB each way at 1K/32ch
+            feats = out["feats_hwc"]  # (H, W, F), replicated
+            norm_per_px = jnp.sqrt(
+                jnp.sum(feats * feats, axis=-1) + 1e-12)
             rf_norm = norm_per_px.mean()
             rfn_reg = (1.0 - rf_norm) ** 2
 
             hm, wm = mask_hw
-            if feats.shape[1:] != (hm, wm):
-                from ..utils.image import bilinear_resize
+            if feats.shape[:2] != (hm, wm):
+                # sampled 4-tap gather == resize-then-index (see
+                # engine/trainer.py FEATURE step); skips the dense
+                # full-image resize fwd + VJP on every shard
+                from ..losses.contrastive import _cosine_gram
+                from ..utils.image import bilinear_sample_flat
 
-                feats = bilinear_resize(feats, hm, wm,
-                                        channel_last=False)
-            C_F = features_correspondence_matrix(feats, sample)
+                sampled = bilinear_sample_flat(feats, sample.pixel_idx,
+                                               hm, wm)
+                C_F = _cosine_gram(sampled)
+            else:
+                from ..losses.contrastive import (
+                    features_correspondence_matrix_hwc,
+                )
+
+                C_F = features_correspondence_matrix_hwc(feats, sample)
             pos = positive_pixel_pair_loss[contrastive_mode](
                 C, C_F, sample, positive_th=positive_th, weights=weights)
             neg = negative_pixel_pair_loss[contrastive_mode](

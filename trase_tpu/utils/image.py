@@ -47,3 +47,39 @@ def bilinear_resize(img: jnp.ndarray, out_h: int, out_w: int,
             + img[y1] * wy[:, None, None])  # (out_h, W, C)
     return (rows[:, x0] * (1.0 - wx)[None, :, None]
             + rows[:, x1] * wx[None, :, None])
+
+
+def _bilinear_taps(dst: jnp.ndarray, in_size: int, out_size: int):
+    """Source taps for output coordinates `dst` under the
+    align_corners=False convention (same formula as bilinear_resize)."""
+    src = jnp.clip((dst.astype(jnp.float32) + 0.5) * (in_size / out_size)
+                   - 0.5, 0.0, in_size - 1)
+    i0 = jnp.floor(src).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, in_size - 1)
+    return i0, i1, src - i0
+
+
+def bilinear_sample_flat(img: jnp.ndarray, pixel_idx: jnp.ndarray,
+                         out_h: int, out_w: int) -> jnp.ndarray:
+    """Rows `pixel_idx` of
+    ``bilinear_resize(img, out_h, out_w).reshape(-1, C)`` WITHOUT
+    materializing the resized image or its dense VJP.
+
+    The FEATURE-phase contrastive loss consumes only P sampled pixels
+    of the mask-resolution feature image (reference train.py:284
+    resizes the whole (H, W, 32) render first); gathering the four
+    bilinear taps per sampled pixel is the same value with the same
+    lerp association — P*4 point gathers forward and a 4P-point
+    scatter-add backward instead of full-image traffic both ways.
+
+    img: (H, W, C); pixel_idx: (P,) flat indices into the
+    (out_h, out_w) grid. Returns (P, C).
+    """
+    h, w = img.shape[:2]
+    y0, y1, wy = _bilinear_taps(pixel_idx // out_w, h, out_h)
+    x0, x1, wx = _bilinear_taps(pixel_idx % out_w, w, out_w)
+    wy = wy[:, None]
+    wx = wx[:, None]
+    r0 = img[y0, x0] * (1.0 - wy) + img[y1, x0] * wy
+    r1 = img[y0, x1] * (1.0 - wy) + img[y1, x1] * wy
+    return r0 * (1.0 - wx) + r1 * wx
