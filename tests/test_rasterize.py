@@ -324,6 +324,9 @@ class TestExtentCull:
                 np.asarray(a[key]), np.asarray(b[key]),
                 atol=2e-6, err_msg=f"{backend}:{key}")
 
+    @pytest.mark.slow  # the default-suite output-parity tests pin
+    # the same where-threshold mechanism; the autodiff cross-check
+    # is opt-in
     def test_grads_unchanged_dense(self):
         proj, feats, H, W = self._proj(H=48, W=48, n=60)
         bg = jnp.zeros(3)

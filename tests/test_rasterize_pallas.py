@@ -586,7 +586,12 @@ class TestFeaturesOnly:
                 np.asarray(fo["feats_hwc"]),
                 np.asarray(full["feats"]).transpose(1, 2, 0), atol=1e-5)
 
-    @pytest.mark.parametrize("packed", [False, True])
+    @pytest.mark.parametrize("packed", [
+        # unpacked parity: same mechanism at a coarser payload —
+        # covered by the packed default; keep the full matrix opt-in
+        pytest.param(False, marks=pytest.mark.slow),
+        True,
+    ])
     def test_grad_parity(self, packed):
         proj, feats, H, W = self._setup(n=48, seed=4)
         bg = jnp.zeros(3)
