@@ -345,3 +345,22 @@ class TestExtentCull:
         g_off = jax.grad(loss)(proj.mean2d, False)
         np.testing.assert_allclose(np.asarray(g_on), np.asarray(g_off),
                                    atol=2e-6)
+
+    def test_alpha_cull_outputs_unchanged_pallas(self):
+        """RasterConfig.alpha_cull (pallas pair-level max-alpha bound)
+        composes with the extent rects and must also be output-exact:
+        culled pairs are provably below ALPHA_EPS over their whole
+        tile."""
+        from trase_tpu.renderer import _rasterize
+
+        proj, feats, H, W = self._proj()
+        bg = jnp.asarray([0.1, 0.2, 0.3])
+        base = R.RasterConfig(pairs_per_gaussian=16, max_per_tile=512,
+                              tile_batch=8)
+        a = _rasterize("pallas_interpret", proj, feats, bg, H, W,
+                       base._replace(alpha_cull=True))
+        b = _rasterize("pallas_interpret", proj, feats, bg, H, W, base)
+        for key in ("render", "feats", "depth", "alpha"):
+            np.testing.assert_allclose(
+                np.asarray(a[key]), np.asarray(b[key]),
+                atol=2e-6, err_msg=key)
