@@ -60,7 +60,17 @@ def _leaf(tree):
     return jax.tree_util.tree_leaves(tree)[0]
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--alpha_cull", action="store_true",
+                    help="A/B: pair-level max-alpha tile cull")
+    ap.add_argument("--pack_features", action="store_true",
+                    help="A/B: bf16-paired feature payload")
+    ap.add_argument("--pairs_per_gaussian", type=int, default=6)
+    args = ap.parse_args(argv)
+
     # Watchdog: the axon TPU tunnel can wedge for hours (device calls
     # block silently with no error). Bound the whole bench so a wedged
     # tunnel yields an honest error record instead of a driver hang.
@@ -104,8 +114,10 @@ def main():
     # is identical to K=8 (overflow differs <0.1% — both drop only the
     # far tiles of a handful of near-camera outliers), so the smaller
     # sort/gather/layout is free speed. Scene-dependent knob.
-    cfg = RasterConfig(pairs_per_gaussian=6, max_per_tile=512,
-                       tile_batch=64)
+    cfg = RasterConfig(pairs_per_gaussian=args.pairs_per_gaussian,
+                       max_per_tile=512, tile_batch=64,
+                       alpha_cull=args.alpha_cull,
+                       pack_features=args.pack_features)
     alive = aux.alive
     bg = jnp.zeros(3)
 
