@@ -216,8 +216,11 @@ def main(argv=None):
     from trase_tpu.models import gaussians as G
     from trase_tpu.ops.rasterize import RasterConfig
 
-    data_dir = os.path.join(args.out, "data")
-    model_dir = os.path.join(args.out, "model")
+    # absolute: the datagen subprocess below runs with cwd at the repo
+    # root, so a relative --out would desync parent/child paths
+    out_dir = os.path.abspath(args.out)
+    data_dir = os.path.join(out_dir, "data")
+    model_dir = os.path.join(out_dir, "model")
     t0 = time.perf_counter()
     if not os.path.exists(os.path.join(data_dir, "transforms_train.json")):
         print(f"[validate_scale] writing {args.image_size}px dataset "
@@ -279,7 +282,7 @@ def main(argv=None):
                           seed=args.seed)
 
     milestones = sorted(int(m) for m in args.milestones.split(",") if m)
-    curve_path = os.path.join(args.out, "curve.jsonl")
+    curve_path = os.path.join(out_dir, "curve.jsonl")
     alive_track = []
     deadline = (time.perf_counter() + args.max_hours * 3600.0
                 if args.max_hours > 0 else None)

@@ -498,6 +498,13 @@ class Trainer:
             self._pending.append((iteration, metrics))
             if len(self._pending) >= self.metrics_pipeline_depth:
                 self._flush_metrics(iter_bar)
+            elif iteration % 100 == 0 and "overflow" in metrics:
+                # drain NOW so the pair-budget controller (which only
+                # acts on %100 steps, _handle_overflow) reacts with
+                # one-iteration latency instead of up to pipeline_depth
+                # steps of truncated pairs — one extra RPC per 100
+                # iterations, off the hot path
+                self._flush_metrics(iter_bar, all_pending=True)
             if iter_bar and iteration % 10 == 0:
                 iter_bar.update(10)
 
@@ -558,11 +565,21 @@ class Trainer:
             [m.get("packed", {k: v for k, v in m.items()
                               if k != "packed"})
              for _, m in batch])
+        # per-iteration time = inter-drain wall clock divided by the
+        # number of iterations drained (the drain interval spans
+        # `take` device steps plus the RPC stall; logging the raw gap
+        # per row would overstate iter_time by the batch factor)
+        now = time.time()
+        iter_ms = None
+        if self._last_consume_t is not None:
+            iter_ms = (now - self._last_consume_t) * 1000.0 / take
+        self._last_consume_t = now
         for (it, m), row in zip(batch, fetched):
-            self._consume_metrics(it, m, row, iter_bar=iter_bar)
+            self._consume_metrics(it, m, row, iter_bar=iter_bar,
+                                  iter_ms=iter_ms)
 
     def _consume_metrics(self, iteration: int, metrics: dict,
-                         fetched=None, iter_bar=None):
+                         fetched=None, iter_bar=None, iter_ms=None):
         """Host-side bookkeeping for a completed step: NaN guard
         (retro-corrects the optimistic phase-counter increment), EMA
         displays, TensorBoard scalars, overflow telemetry. Runs up to
@@ -603,18 +620,14 @@ class Trainer:
             self.ema_neg = 0.4 * vals.get("neg_sim", 0.0) + \
                 0.6 * self.ema_neg
 
-        now = time.time()
         if self.tb:
             if "l1" in metrics:
                 self.tb.scalar("train_loss_patches/l1_loss",
                                vals["l1"], iteration)
             self.tb.scalar("train_loss_patches/total_loss", loss,
                            iteration)
-            if self._last_consume_t is not None:
-                self.tb.scalar(
-                    "iter_time",
-                    (now - self._last_consume_t) * 1000.0, iteration)
-        self._last_consume_t = now
+            if iter_ms is not None:
+                self.tb.scalar("iter_time", iter_ms, iteration)
 
         if iter_bar and iteration % 10 == 0:
             show = {"Loss": f"{self.ema_loss:.3f}",

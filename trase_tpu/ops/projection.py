@@ -236,8 +236,14 @@ def project_gaussians(
     t_sup = 2.0 * (jnp.log(jnp.maximum(opacities, 1e-38))
                    - float(np.log(ALPHA_EPS)))
     t_sup = jnp.maximum(t_sup, 0.0)
-    ex = jnp.minimum(jnp.sqrt(t_sup * jnp.maximum(a, 0.0)), radius)
-    ey = jnp.minimum(jnp.sqrt(t_sup * jnp.maximum(c, 0.0)), radius)
+    # (1 + 4 ulp) pad: ex/ey are f32-computed from (a, c) while the
+    # kernels evaluate support via the regularized-inverse conic, so
+    # the two can disagree by ~1 ulp at the support boundary; the pad
+    # keeps the AABB conservative (never drops a boundary pixel with
+    # alpha == ALPHA_EPS) at zero binning cost (ADVICE r4)
+    pad = 1.0 + 4.0 * np.float32(np.finfo(np.float32).eps)
+    ex = jnp.minimum(jnp.sqrt(t_sup * jnp.maximum(a, 0.0)) * pad, radius)
+    ey = jnp.minimum(jnp.sqrt(t_sup * jnp.maximum(c, 0.0)) * pad, radius)
     extent = jnp.where(valid[:, None], jnp.stack([ex, ey], axis=1), 0.0)
 
     if colors_precomp is not None:

@@ -880,10 +880,12 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
             tot = cum[:, last:last + 1]
             t_start_log = logtc[...] - tot  # (PIX, 1) log T at win start
             excl_lin = jnp.exp(t_start_log + (cum - lg))  # T before i
-            # T after i = T_before * (1 - alpha): exp(lg) == 1 - alpha
-            # exactly, so this saves a second full-window transcendental
-            incl_lin = excl_lin * (1.0 - alpha)
-            keep = (incl_lin >= T_EPS).astype(jnp.float32)
+            # keep-test in LOG space with the forward's exact window-
+            # local expression (fwd: cum_incl + logt >= LOG_T_EPS), so
+            # fwd/bwd can only disagree through the t_start_log
+            # reconstruction itself, never through a second linear-
+            # domain rounding of the same quantity (ADVICE r4)
+            keep = (t_start_log + cum >= LOG_T_EPS).astype(jnp.float32)
             wgt = jnp.where(ok, alpha * excl_lin, 0.0) * keep
             vals_ext = _vals_ext_rows(block_t, n_val, n_packed,
                                        with_color)
