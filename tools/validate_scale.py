@@ -178,6 +178,12 @@ def main(argv=None):
     ap.add_argument("--pts_per_blob", type=int, default=2400)
     ap.add_argument("--n_train", type=int, default=24)
     ap.add_argument("--n_test", type=int, default=4)
+    ap.add_argument("--n_times", type=int, default=0,
+                    help="0 = monocular ring (time==angle); >0 = "
+                         "Neu3D-style rig: n_train//n_times cameras x "
+                         "n_times timestamps, test cameras held out "
+                         "(novel-view PSNR then measures "
+                         "reconstruction, not monocular ambiguity)")
     ap.add_argument("--iterations", type=int, default=3000)
     ap.add_argument("--target_alive", type=int, default=300_000,
                     help="densify until at least this many alive "
@@ -238,7 +244,8 @@ def main(argv=None):
             f"write_synthetic_dataset({data_dir!r}, n_train={args.n_train},"
             f" n_test={args.n_test}, image_size={args.image_size},"
             f" n_blobs={args.n_blobs}, pts_per_blob={args.pts_per_blob},"
-            f" seed={args.seed}, fast_gt={args.image_size > 256})"
+            f" seed={args.seed}, fast_gt={args.image_size > 256},"
+            f" n_times={args.n_times})"
         )
         env = dict(os.environ, JAX_PLATFORMS="cpu")
         env.pop("PALLAS_AXON_POOL_IPS", None)

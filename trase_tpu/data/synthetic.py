@@ -146,12 +146,18 @@ def write_synthetic_dataset(
     radius: float = 3.0,
     seed: int = 0,
     fast_gt: bool = False,
+    n_times: int = 0,
 ):
     """Write a complete Blender-format dataset dir; returns the scene.
 
     fast_gt: render GT with the production tiled compositor instead of
     the O(N*P) oracle — required at 1K-class resolutions (see
-    tools/validate_scale.py)."""
+    tools/validate_scale.py).
+
+    n_times: 0 = monocular ring (time == angle, one view per
+    timestep); > 0 = Neu3D-style multi-view rig (n_train//n_times
+    fixed cameras x n_times timestamps, test cameras at held-out
+    angles — novel-view PSNR is then a real reconstruction metric)."""
     from PIL import Image
 
     from .masks import save_mask_file
@@ -165,10 +171,28 @@ def write_synthetic_dataset(
     os.makedirs(os.path.join(path, "images", "masks"), exist_ok=True)
 
     def write_split(split: str, n: int, offset: float):
+        # view list: monocular-style by default (camera i at angle i/n
+        # AND time i/(n-1) — time and angle perfectly correlated, like
+        # a handheld capture). With n_times > 0, a Neu3D-style
+        # multi-view rig instead: n//n_times fixed cameras each filmed
+        # at n_times timestamps (reference scene/dataset_readers.py
+        # multi-view transforms; Neu3D holds out whole cameras for
+        # test) — each timestep gets several simultaneous views, which
+        # is what makes held-out-view PSNR a meaningful reconstruction
+        # metric (a monocular ring has exactly one view per timestep,
+        # so novel-view eval there measures the 4D ambiguity, not the
+        # model).
+        if n_times > 0:
+            n_cams = max(n // n_times, 1)
+            views = [(ci / n_cams + offset,
+                      ti / max(n_times - 1, 1))
+                     for ci in range(n_cams) for ti in range(n_times)]
+        else:
+            views = [(i / n + offset, i / max(n - 1, 1))
+                     for i in range(n)]
         frames = []
-        for i in range(n):
-            t = i / max(n - 1, 1)
-            theta = 2 * np.pi * (i / n + offset)
+        for i, (frac, t) in enumerate(views):
+            theta = 2 * np.pi * frac
             eye = radius * np.array(
                 [np.sin(theta), 0.3, np.cos(theta)], np.float64)
             R_w2c, T = _look_at(eye, np.zeros(3))
