@@ -399,7 +399,6 @@ def _vals_ext_rows(block_t, n_val, n_packed, with_color=True):
             [block_t[6:7, :],
              block_t[GEOM_COLS:GEOM_COLS + n_val, :]], axis=0)
     n_plain = 3 if with_color else 0  # rgb rows before the packed rows
-    head = block_t[GEOM_COLS:GEOM_COLS + n_plain, :]
     pk = block_t[GEOM_COLS + n_plain + (1 if with_color else 0):
                  GEOM_COLS + n_plain + (1 if with_color else 0)
                  + n_packed, :]
@@ -407,7 +406,12 @@ def _vals_ext_rows(block_t, n_val, n_packed, with_color=True):
     lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
     hi = jax.lax.bitcast_convert_type(
         u & jnp.uint32(0xFFFF0000), jnp.float32)
-    rows = [block_t[6:7, :], head, lo, hi]
+    # no zero-size slices: Mosaic rejects empty vector types that the
+    # CPU interpreter tolerates (with_color=False has no rgb rows)
+    rows = [block_t[6:7, :]]
+    if n_plain:
+        rows.append(block_t[GEOM_COLS:GEOM_COLS + n_plain, :])
+    rows += [lo, hi]
     if with_color:
         rows.append(block_t[GEOM_COLS + 3:GEOM_COLS + 4, :])  # depth
     return jnp.concatenate(rows, axis=0)
