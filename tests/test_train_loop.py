@@ -513,3 +513,41 @@ def test_feature_step_mask_resolution_resize(synth_dir):
     np.testing.assert_allclose(float(metrics["loss"]), expected,
                                rtol=2e-5)
     assert bool(metrics["finite"])
+
+
+def test_multiview_rig_geometry(tmp_path):
+    """n_times > 0 writes a Neu3D-style rig: fixed cameras x shared
+    timestamp grid, test cameras at held-out angles (reference Neu3D
+    protocol: whole cameras held out, scene/dataset_readers.py
+    multi-view transforms). The monocular default (n_times=0) couples
+    time 1:1 with angle, under which held-out-view PSNR measures the
+    monocular 4D ambiguity — see runs/README.md round-5 post-mortem."""
+    import json
+
+    from trase_tpu.data.synthetic import write_synthetic_dataset
+
+    d = str(tmp_path / "mv")
+    write_synthetic_dataset(d, n_train=12, n_test=4, image_size=32,
+                            n_blobs=2, pts_per_blob=16, n_times=4)
+    tr = json.load(open(os.path.join(d, "transforms_train.json")))
+    te = json.load(open(os.path.join(d, "transforms_test.json")))
+    assert len(tr["frames"]) == 12 and len(te["frames"]) == 4
+
+    def cams_and_times(frames):
+        cams = {tuple(np.round(np.array(f["transform_matrix"])[:3, 3], 5))
+                for f in frames}
+        times = sorted({round(f["time"], 5) for f in frames})
+        return cams, times
+
+    tr_cams, tr_times = cams_and_times(tr["frames"])
+    te_cams, te_times = cams_and_times(te["frames"])
+    assert len(tr_cams) == 3           # 12 frames / 4 timestamps
+    assert len(te_cams) == 1           # one whole held-out camera
+    assert not (tr_cams & te_cams)     # test angles never trained
+    assert tr_times == te_times == [round(t / 3, 5) for t in range(4)]
+    # every train camera films every timestamp (full rig coverage)
+    per_cam = {}
+    for f in tr["frames"]:
+        key = tuple(np.round(np.array(f["transform_matrix"])[:3, 3], 5))
+        per_cam.setdefault(key, set()).add(round(f["time"], 5))
+    assert all(len(ts) == 4 for ts in per_cam.values())
