@@ -551,3 +551,28 @@ def test_multiview_rig_geometry(tmp_path):
         key = tuple(np.round(np.array(f["transform_matrix"])[:3, 3], 5))
         per_cam.setdefault(key, set()).add(round(f["time"], 5))
     assert all(len(ts) == 4 for ts in per_cam.values())
+
+
+def test_gt_cache_no_cross_split_uid_collision(synth_dir, tmp_path):
+    """Camera uids are per-split enumeration indices (train 0..N AND
+    test 0..M), so a uid-keyed GT cache returns a TRAIN image for a
+    test camera — which made every evaluate() test-PSNR readout a
+    cross-pair artifact (r5 diagnosis; fixed by keying on
+    (image_name, W, H))."""
+    from trase_tpu.data.scene import Scene
+    from trase_tpu.engine.loop import Trainer
+    from trase_tpu.ops.rasterize import RasterConfig
+
+    args = _Args(synth_dir, str(tmp_path / "model_gtc"))
+    scene = Scene(args, resolution_scales=(1.0,))
+    tr = Trainer(args, _Opt(), _Pipe(), scene,
+                 raster_cfg=RasterConfig(pairs_per_gaussian=4,
+                                         max_per_tile=128, tile_batch=4),
+                 max_new_per_densify=16)
+    train0 = scene.get_train_cameras()[0]
+    test0 = scene.get_test_cameras()[0]
+    assert train0.uid == test0.uid == 0  # the collision precondition
+    # prime the cache with the colliding train camera first
+    _ = tr._gt_image(train0)
+    got = np.asarray(tr._gt_image(test0))
+    np.testing.assert_array_equal(got, np.asarray(test0.image))

@@ -161,10 +161,25 @@ class Trainer:
 
     # ------------------------------------------------------------ caches
 
+    @staticmethod
+    def _cam_key(cam):
+        """Cache key that is unique ACROSS splits. `cam.uid` is the
+        reference's per-split enumeration index (scene/cameras.py), so
+        train uid 0 and test uid 0 COLLIDE — keying the GT cache by uid
+        made every test-split evaluate() compare renders against
+        cached TRAIN images (r5 diagnosis: reader-path test render
+        scored 25.2 dB vs its own GT while evaluate reported 12.9 —
+        exactly the cross-pair score; every earlier round's low
+        test-PSNR readout was this artifact, not model quality).
+        Training was never affected: the train loop only touches the
+        train split, whose uids are unique."""
+        return (cam.image_name, cam.image_width, cam.image_height)
+
     def _gt_image(self, cam) -> jnp.ndarray:
-        if cam.uid in self._gt_cache:
-            self._gt_cache.move_to_end(cam.uid)
-            return self._gt_cache[cam.uid]
+        key = self._cam_key(cam)
+        if key in self._gt_cache:
+            self._gt_cache.move_to_end(key)
+            return self._gt_cache[key]
         img = cam.image
         if img is None:
             from PIL import Image as PILImage
@@ -174,10 +189,10 @@ class Trainer:
             with PILImage.open(cam.image_path) as im:
                 raw = np.asarray(im.convert("RGBA"))
             img = rgba_to_rgb_f32(raw, np.asarray(self.bg_color))
-        self._gt_cache[cam.uid] = jnp.asarray(img)
+        self._gt_cache[key] = jnp.asarray(img)
         while len(self._gt_cache) > self.gt_cache_size:
             self._gt_cache.popitem(last=False)
-        return self._gt_cache[cam.uid]
+        return self._gt_cache[key]
 
     def _prepare_mask_meta(self, cams):
         """One static (M_max, H, W) shape across the dataset. Reads
@@ -209,15 +224,17 @@ class Trainer:
     def _submit_mask_prefetch(self, cam):
         """Kick off background decode for an upcoming camera."""
         if (self._prefetcher is not None and cam.masks is None
-                and cam.mask_path and cam.uid not in self._mask_cache
+                and cam.mask_path
+                and self._cam_key(cam) not in self._mask_cache
                 and cam.mask_path not in self._prefetched):
             self._prefetched[cam.mask_path] = True
             self._prefetcher.submit(cam.mask_path)
 
     def _masks_for(self, cam):
-        if cam.uid in self._mask_cache:
-            self._mask_cache.move_to_end(cam.uid)
-            return self._mask_cache[cam.uid]
+        key = self._cam_key(cam)
+        if key in self._mask_cache:
+            self._mask_cache.move_to_end(key)
+            return self._mask_cache[key]
         masks = cam.masks
         padded_np = valid_np = None
         if masks is None and cam.mask_path:
@@ -243,7 +260,7 @@ class Trainer:
             padded_np[: min(n, m)] = masks[:m]
             valid_np = np.arange(m) < n
         entry = (jnp.asarray(padded_np), jnp.asarray(valid_np))
-        self._mask_cache[cam.uid] = entry
+        self._mask_cache[key] = entry
         while len(self._mask_cache) > self.mask_cache_size:
             self._mask_cache.popitem(last=False)
         return entry
