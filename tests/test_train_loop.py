@@ -576,3 +576,42 @@ def test_gt_cache_no_cross_split_uid_collision(synth_dir, tmp_path):
     _ = tr._gt_image(train0)
     got = np.asarray(tr._gt_image(test0))
     np.testing.assert_array_equal(got, np.asarray(test0.image))
+
+
+def test_stall_watchdog_hard_exits(synth_dir, tmp_path):
+    """A wedged device call blocks the main thread in native recv where
+    signal handlers / --max_hours can never fire; the stall watchdog
+    (train(stall_timeout_s=...)) must hard-exit rc 86 so the harness
+    sees a distinguishable failure and the snapshot/curve salvage
+    remains usable (BASELINE r4/r5 wedge post-mortems)."""
+    import subprocess
+
+    code = f"""
+import sys
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+sys.path.insert(0, {os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'tests')!r})
+import time
+from test_train_loop import _Args, _Opt, _Pipe
+from trase_tpu.data.scene import Scene
+from trase_tpu.engine.loop import Trainer
+from trase_tpu.ops.rasterize import RasterConfig
+
+args = _Args({synth_dir!r}, {str(tmp_path / 'model_wd')!r})
+opt = _Opt(); opt.iterations = 50; opt.warm_up_3d_features = 100
+opt.densify_until_iter = 0
+tr = Trainer(args, opt, _Pipe(), Scene(args, resolution_scales=(1.0,)),
+             raster_cfg=RasterConfig(pairs_per_gaussian=4,
+                                     max_per_tile=128, tile_batch=4))
+def wedge(t, i, m):
+    if i == 3:
+        time.sleep(30)   # simulated uninterruptible device stall
+tr.train(first_iter=0, progress=False, on_iteration=wedge,
+         stall_timeout_s=2.0)
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 86, (r.returncode, r.stdout[-500:],
+                                r.stderr[-500:])
+    assert "watchdog" in r.stdout

@@ -210,6 +210,12 @@ def main(argv=None):
                          "still stands and a final eval runs")
     ap.add_argument("--mesh", type=int, default=0,
                     help="run the trainer over an N-device mesh")
+    ap.add_argument("--stall_timeout_s", type=float, default=1800.0,
+                    help="hard-exit (rc 86) when no iteration "
+                         "completes for this long — a wedged device "
+                         "tunnel blocks in native recv where signal "
+                         "handlers and --max_hours can never fire "
+                         "(0 disables)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -344,7 +350,8 @@ def main(argv=None):
     try:
         trainer.train(first_iter=0, saving_iterations=set(),
                       testing_iterations=set(), progress=True,
-                      on_iteration=on_iteration)
+                      on_iteration=on_iteration,
+                      stall_timeout_s=args.stall_timeout_s)
     except _Deadline as e:
         aborted_at = int(e.args[0])
         print(f"[validate_scale] --max_hours hit at iter {aborted_at}; "

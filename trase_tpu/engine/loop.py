@@ -429,10 +429,39 @@ class Trainer:
 
     def train(self, first_iter: int = 0, testing_iterations=(),
               saving_iterations=(), checkpoint_iterations=(),
-              progress=True, on_iteration=None):
+              progress=True, on_iteration=None,
+              stall_timeout_s: float = 0.0):
+        """stall_timeout_s > 0 arms a failure-detection watchdog: a
+        daemon thread that hard-exits the process (os._exit(86)) when
+        no iteration completes for that long. The axon tunnel can wedge
+        with the host blocked inside an uninterruptible native recv —
+        Python signal handlers never run (the main thread is off the
+        bytecode loop), so --max_hours deadlines in host callbacks
+        cannot fire; this killed multiple long runs before it was
+        understood (BASELINE r4/r5 notes). A hard exit preserves the
+        last committed snapshot + incremental curve for post-hoc eval;
+        84+2=86 is distinguishable from timeout(1)'s 124."""
         opt = self.opt
         viewpoint_stack = []
         iter_bar = None
+        self._heartbeat = time.time()
+        if stall_timeout_s > 0:
+            import threading
+
+            def _watchdog():
+                while True:
+                    time.sleep(min(stall_timeout_s / 4, 60.0))
+                    dt = time.time() - self._heartbeat
+                    if dt > stall_timeout_s:
+                        print(f"\n[watchdog] no iteration completed in "
+                              f"{dt:.0f}s (> {stall_timeout_s:.0f}s) — "
+                              "device/tunnel presumed wedged; hard "
+                              "exit. Last snapshot + curve.jsonl are "
+                              "intact for post-hoc eval.", flush=True)
+                        os._exit(86)
+
+            threading.Thread(target=_watchdog, daemon=True,
+                             name="stall-watchdog").start()
         if progress:
             try:
                 from tqdm import tqdm
@@ -555,6 +584,7 @@ class Trainer:
 
             if on_iteration is not None:
                 on_iteration(self, iteration, metrics)
+            self._heartbeat = time.time()
 
         self._flush_metrics(iter_bar, all_pending=True)
         if iter_bar:
