@@ -200,6 +200,14 @@ class Trainer:
         round-1 version held every decoded mask in host RAM)."""
         from ..data.masks import decode_mask_file, mask_file_shape
 
+        # size the mask LRU to the train set (capped): an undersized
+        # cache re-uploads a ~20 MB decoded stack every FEATURE
+        # iteration, and evicted device buffers release lazily through
+        # the RPC tunnel — the r5 resume run leaked ~20 MB/feature-iter
+        # to 130 GB host RSS and was OOM-killed at default size 8 with
+        # 60 cameras. With cache >= n_cams each stack uploads once.
+        self.mask_cache_size = max(self.mask_cache_size,
+                                   min(len(cams), 128))
         m_max, hw = 0, None
         for cam in cams:
             if cam.masks is not None:
