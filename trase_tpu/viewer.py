@@ -193,13 +193,21 @@ class HeadlessViewer:
                    *, use_override):
                 from .renderer import RenderCamera
                 cam = RenderCamera(buffers, self.H, self.W)
-                return render(
+                out = render(
                     cam, params, self.aux.alive, self.bg,
                     d_xyz, d_rot, d_scale, is_6dof=self.is_6dof,
                     sh_degree=self.sh_degree,
                     override_color=override if use_override else None,
                     mask=mask, with_features=False,
                     raster_cfg=self.raster_cfg, backend=self.backend)
+                # display path: quantize ON DEVICE so the host fetch
+                # moves (H, W, 3) uint8 — 4x less than f32. On a
+                # tunneled host the fetch dominates the frame; on a
+                # local host it still saves 3/4 of the PCIe copy.
+                out["render_u8"] = jnp.clip(
+                    jnp.transpose(out["render"], (1, 2, 0)) * 255.0,
+                    0, 255).astype(jnp.uint8)
+                return out
             self._jit_cache[key] = _f
         f = self._jit_cache[key]
         return f(
@@ -227,7 +235,8 @@ class HeadlessViewer:
         d_xyz = None
         if mode == "Render":
             out, d_xyz = self._raw_frame(mask=mask)
-            img = np.asarray(out["render"])
+            img = np.asarray(out["render_u8"]).transpose(2, 0, 1)
+            img = img.astype(np.float32) / 255.0
         elif mode == "Depth":
             out, d_xyz = self._raw_frame(mask=mask)
             depth = np.asarray(out["depth"])[0]
