@@ -66,8 +66,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--alpha_cull", action="store_true",
                     help="A/B: pair-level max-alpha tile cull")
-    ap.add_argument("--pack_features", action="store_true",
-                    help="A/B: bf16-paired feature payload")
+    ap.add_argument("--pack_features",
+                    action=argparse.BooleanOptionalAction, default=True,
+                    help="bf16-paired feature payload (default on "
+                         "since the r5 A/B; --no-pack_features for "
+                         "the unpacked A/B arm)")
     ap.add_argument("--pairs_per_gaussian", type=int, default=6)
     args = ap.parse_args(argv)
 

@@ -374,12 +374,19 @@ def test_mask_and_gt_cache_bounded(synth_dir, tmp_path):
     scene = Scene(args, resolution_scales=(1.0,))
     cfg = RasterConfig(pairs_per_gaussian=4, max_per_tile=128, tile_batch=4)
     tr = Trainer(args, opt, _Pipe(), scene, raster_cfg=cfg)
+    # _prepare_mask_meta raises the mask LRU to the train-set size
+    # (min(n_cams, 128)): an undersized cache re-uploads a decoded
+    # stack every FEATURE iteration and lazily-released device buffers
+    # leak through an RPC tunnel (r5: 130 GB RSS OOM at size 8 with 60
+    # cams). The bound under test is therefore n_train_cams, while the
+    # GT cache keeps its configured budget.
+    mask_bound = len(scene.get_train_cameras())
 
     phases = []
 
     def record(t, iteration, metrics):
         phases.append(t.opt_state.state)
-        assert len(t._mask_cache) <= 2
+        assert len(t._mask_cache) <= mask_bound
         assert len(t._gt_cache) <= 3
 
     tr.train(first_iter=0, progress=False, on_iteration=record)

@@ -41,10 +41,14 @@ def main(argv=None):
     parser.add_argument("--max_per_tile", type=int, default=1024,
                         help="rasterizer per-tile gaussian capacity")
     parser.add_argument("--pairs_per_gaussian", type=int, default=8)
-    parser.add_argument("--pack_features", action="store_true",
+    parser.add_argument("--pack_features",
+                        action=argparse.BooleanOptionalAction,
+                        default=True,
                         help="bf16-pair the 32-ch feature payload in "
                              "the Pallas compositor (1/3 less HBM "
-                             "traffic in the FEATURE phase)")
+                             "traffic in the FEATURE phase; default on "
+                             "since the r5 quality/speed A/B — "
+                             "disable with --no-pack_features)")
     parser.add_argument("--mesh", type=int, default=0,
                         help="train SPMD over an N-device jax mesh "
                              "(0 = single device)")
