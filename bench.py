@@ -72,6 +72,13 @@ def main(argv=None):
                          "since the r5 A/B; --no-pack_features for "
                          "the unpacked A/B arm)")
     ap.add_argument("--pairs_per_gaussian", type=int, default=6)
+    ap.add_argument("--densify_stats",
+                    action=argparse.BooleanOptionalAction, default=False,
+                    help="A/B: accumulate densification stats in the "
+                         "FEATURE step. Default off — the FEATURE "
+                         "stage runs after densify_until_iter in the "
+                         "reference schedule (train.py:362), which "
+                         "enables the values-only backward")
     args = ap.parse_args(argv)
 
     # Watchdog: the axon TPU tunnel can wedge for hours (device calls
@@ -182,6 +189,7 @@ def main(argv=None):
             negative_th=0.5, num_sampled_pixels=4096,
             num_sampled_masks=8, use_smoothing=False,
             smooth_dropout=0.5, mask_hw=(hm, wm), raster_cfg=cfg,
+            with_densify_stats=args.densify_stats,
         )
         return new_state
 

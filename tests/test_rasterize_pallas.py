@@ -624,6 +624,95 @@ class TestFeaturesOnly:
             scale = np.abs(a).max() + 1e-8
             assert np.abs(a - b).max() / scale < 1e-5, nm
 
+    @pytest.mark.parametrize("packed", [False, True])
+    def test_grad_values_only_parity(self, packed):
+        """grad_values_only=True must leave the VALUE-row gradients
+        (features) bit-identical to the full backward while zeroing the
+        geometry/opacity gradients — the post-densify FEATURE-phase
+        contract (reference train.py:362-366 stops consuming the
+        screen-space gradient there)."""
+        proj, feats, H, W = self._setup(n=48, seed=4)
+        bg = jnp.zeros(3)
+        rng = np.random.default_rng(2)
+        wf = jnp.asarray(rng.normal(size=(feats.shape[1], H, W)),
+                         jnp.float32)
+        cfg = CFG._replace(pack_features=True) if packed else CFG
+
+        def loss_fn(values_only):
+            def f(mean2d, opa, extra):
+                p = proj._replace(mean2d=mean2d, opacity=opa)
+                out = RP.rasterize_tiled_pallas(
+                    p, extra, bg, H, W, cfg, interpret=True,
+                    with_color=False, grad_values_only=values_only)
+                return jnp.sum(out["feats"] * wf)
+            return f
+
+        args = (proj.mean2d, proj.opacity, feats)
+        gfull = jax.grad(loss_fn(False), argnums=(0, 1, 2))(*args)
+        gvals = jax.grad(loss_fn(True), argnums=(0, 1, 2))(*args)
+        # value gradients: exactly the full backward's
+        np.testing.assert_array_equal(np.asarray(gfull[2]),
+                                      np.asarray(gvals[2]))
+        # geometry/opacity gradients: exactly zero (declared dead)
+        assert np.all(np.asarray(gvals[0]) == 0.0)
+        assert np.all(np.asarray(gvals[1]) == 0.0)
+        # and the full ones are NOT zero (the test has teeth)
+        assert np.abs(np.asarray(gfull[0])).max() > 0
+
+    def test_feature_step_values_only_matches_stats_variant(self):
+        """with_densify_stats=False must produce bit-identical
+        gaussian_features updates (the only trained group) — it drops
+        only the screen-space stats accumulation."""
+        from trase_tpu.engine import trainer as T
+        from trase_tpu.models import gaussians as G
+        from trase_tpu.models.deform import (
+            init_deform, make_deform_network,
+        )
+        from trase_tpu.renderer import make_render_camera
+
+        n, cap = 60, 64
+        rng = np.random.default_rng(0)
+        pts = (rng.normal(size=(n, 3)) * 0.5).astype(np.float32)
+        pts[:, 2] += 3.0
+        cols = rng.uniform(size=(n, 3)).astype(np.float32)
+        params, aux = G.from_point_cloud(
+            pts, cols, 1, capacity=cap, dist2=np.full(n, 0.01, np.float32))
+        params = params._replace(
+            gaussian_features=jnp.asarray(
+                rng.normal(size=(cap, G.FEATURE_DIM)).astype(np.float32)))
+        H = W = 48
+        net = make_deform_network("DeformNetwork")
+        dvars = init_deform(jax.random.PRNGKey(0), net)
+        state = T.init_train_state(params, aux, dvars)
+        cam = make_render_camera(np.eye(3), np.zeros(3), 0.8, 0.8, H, W)
+        masks = jnp.asarray(
+            (rng.random((4, H, W)) > 0.6).astype(np.float32))
+        lrs = T.LearningRates(*[jnp.float32(1e-3)] * 8)
+        kw = dict(
+            deform_net=net, image_height=H, image_width=W, sh_degree=1,
+            use_deform=True, is_6dof=False, contrastive_mode="soft",
+            rfn=1.0, positive_th=0.75, negative_th=0.5,
+            num_sampled_pixels=64, num_sampled_masks=4,
+            use_smoothing=False, smooth_dropout=0.5, mask_hw=(H, W),
+            raster_cfg=R.RasterConfig(pairs_per_gaussian=8,
+                                      max_per_tile=128, tile_batch=4))
+        outs = {}
+        for stats in (True, False):
+            s, m = T.feature_phase_step(
+                state, cam.buffers, masks, jnp.ones((4,), bool),
+                jnp.float32(0.4), jax.random.PRNGKey(3), lrs,
+                jnp.zeros(3), jnp.zeros((cap, 1), jnp.int32),
+                with_densify_stats=stats, **kw)
+            assert bool(m["finite"])
+            outs[stats] = s
+        np.testing.assert_array_equal(
+            np.asarray(outs[True].params.gaussian_features),
+            np.asarray(outs[False].params.gaussian_features))
+        # stats-off leaves the densification accumulators untouched
+        np.testing.assert_array_equal(
+            np.asarray(outs[False].aux.xyz_gradient_accum),
+            np.asarray(state.aux.xyz_gradient_accum))
+
     def test_feature_step_runs_and_matches_full_loss(self):
         """feature_phase_step (which now renders features-only) yields
         a loss identical to an explicit full-render computation of the

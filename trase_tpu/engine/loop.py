@@ -344,6 +344,11 @@ class Trainer:
             smooth_dropout=0.5,
             mask_hw=self._mask_hw,
             raster_cfg=self.raster_cfg,
+            # reference gates add_densification_stats on iteration <
+            # densify_until_iter (train.py:362-366); past it, the step
+            # differentiates only gaussian_features, which unlocks the
+            # values-only Pallas backward (one retrace at the boundary)
+            with_densify_stats=iteration < self.opt.densify_until_iter,
         )
         self.state = new_state
         return metrics

@@ -387,6 +387,7 @@ _FEATURE_STATICS = (
     "positive_th", "negative_th",
     "num_sampled_pixels", "num_sampled_masks", "use_smoothing",
     "smooth_dropout", "mask_hw", "raster_cfg", "use_pixel_weights",
+    "with_densify_stats",
 )
 
 
@@ -418,9 +419,17 @@ def _feature_phase_body(
     mask_hw: tuple,
     raster_cfg: RT.RasterConfig,
     use_pixel_weights: bool = True,
+    with_densify_stats: bool = True,
 ):
     """One FEATURE-phase step: contrastive losses on rendered features;
-    updates only `gaussian_features` (train.py:244-296)."""
+    updates only `gaussian_features` (train.py:244-296).
+
+    with_densify_stats=False (the post-densification schedule — the
+    reference gates add_densification_stats on iteration <
+    densify_until_iter, train.py:362-366): skips the screen-space
+    offset gradient and the stats update entirely, which lets the
+    Pallas backward run in values-only mode (no alpha-chain matmuls —
+    the step differentiates nothing but `gaussian_features`)."""
     camera = RenderCamera(cam_buffers, image_height, image_width)
     p, aux = state.params, state.aux
     capacity = p.xyz.shape[0]
@@ -452,6 +461,7 @@ def _feature_phase_body(
             camera, params, aux.alive, bg_color,
             d_xyz, d_rot, d_scale, is_6dof=is_6dof, sh_degree=sh_degree,
             mean2d_offset=off, with_features=True, with_color=False,
+            grad_values_only=not with_densify_stats,
             norm_gaussian_features=True,
             smooth_map=smooth_map if use_smoothing else None,
             smooth_rng=rng_smooth if use_smoothing else None,
@@ -500,13 +510,15 @@ def _feature_phase_body(
                       rendered_feature_norm, pos_sim, neg_sim,
                       out["overflow"], out["overflow_half"])
 
+    argnums = (0, 1) if with_densify_stats else (0,)
     (loss, (radii, visibility, rf_norm, pos_sim, neg_sim, overflow,
             overflow_half)), grads = (
-        jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+        jax.value_and_grad(loss_fn, argnums=argnums, has_aux=True)(
             p.gaussian_features, off
         )
     )
-    gfeat, goff = grads
+    gfeat = grads[0]
+    goff = grads[1] if with_densify_stats else None
 
     new_feat, new_feat_opt = adam_update(
         p.gaussian_features, gfeat, state.opt.gaussian_features,
@@ -515,10 +527,13 @@ def _feature_phase_body(
     new_params = p._replace(gaussian_features=new_feat)
     new_opt = state.opt._replace(gaussian_features=new_feat_opt)
 
-    new_aux = G.add_densification_stats(
-        aux, goff, visibility & aux.alive, radii,
-        camera.image_height, camera.image_width,
-    )
+    if with_densify_stats:
+        new_aux = G.add_densification_stats(
+            aux, goff, visibility & aux.alive, radii,
+            camera.image_height, camera.image_width,
+        )
+    else:
+        new_aux = aux
 
     finite = jnp.isfinite(loss) & _all_finite(new_params, new_opt, new_aux)
     new_state = TrainState(
@@ -567,6 +582,7 @@ def feature_phase_step_packed(
     mask_hw: tuple,
     raster_cfg: RT.RasterConfig,
     use_pixel_weights: bool = True,
+    with_densify_stats: bool = True,
 ):
     """feature_phase_step with packed per-iteration scalars and the
     step RNG derived IN-GRAPH as fold_in(base_rng, iteration) — the
@@ -587,6 +603,7 @@ def feature_phase_step_packed(
         use_smoothing=use_smoothing, smooth_dropout=smooth_dropout,
         mask_hw=mask_hw, raster_cfg=raster_cfg,
         use_pixel_weights=use_pixel_weights,
+        with_densify_stats=with_densify_stats,
     )
 
 

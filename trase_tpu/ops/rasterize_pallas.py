@@ -70,11 +70,14 @@ block DMAs kernel-native to its own aligned window block, and one
 HBM-streaming transpose pass (_transpose_slots, MXU identity
 contractions — DMA minor dims must be 128-aligned, so the kernel
 cannot emit sub-128-lane row-major blocks itself) relayouts them to
-(slot_cap, f_pad) row-major — no scatter, no read-modify-write. The un-sort inverts the pair
-permutation by carrying the slot map through one more sort, then
-ROW-gathers per-slot gradient rows pid-major (lane gathers off the
-old (f_pad, slots) layout cost 10-49 ms; row gathers ~4 ms) and folds
-each gaussian's K pair rows with a minor-axis reduce — the moral
+(slot_cap, f_out) row-major — no scatter, no read-modify-write; wide
+gradients (f_pad > 16) are emitted 128-lane-padded because XLA's row
+gather of sub-lane-width rows costs ~4x more than full-lane rows
+(tools/probe_unsort.py: 46.9 vs 12.6 ms at f_pad 48, 100k/K6). The
+un-sort inverts the pair permutation by carrying the slot map through
+one more sort (~2.6 ms; element-gathers would cost ~12 ms/M), then
+ROW-gathers per-slot gradient rows pid-major and folds each
+gaussian's K pair rows with a minor-axis reduce — the moral
 equivalent of the CUDA backward's atomics, with zero atomics and zero
 scatters. The screen-space mean gradient required by densification
 (reference train.py:366, scene/gaussian_model.py:637-639) flows
@@ -788,7 +791,8 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
                       logtc, rcarry, state, *, n_val: int, tw: int,
                       gxn: int, num_tiles: int, f_pad: int,
                       n_packed: int = 0, with_color: bool = True,
-                      emit_grads: bool = True):
+                      emit_grads: bool = True,
+                      values_only: bool = False):
     """Backward over one tile group: ONE reverse superblocked pass.
 
     Walks the group's windows last-to-first. On first (reverse) visit
@@ -894,36 +898,48 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
             vals_ext = _vals_ext_rows(block_t, n_val, n_packed,
                                        with_color)
             g_ext = g_ref[0, :, tx, :, :].reshape(PIX, 1 + n_val)
-            q = _dot(g_ext, vals_ext)  # (PIX, chunk)
-            qw = q * wgt
-            s_incl = _dot(qw, scan_upper)
-            s_tot = s_incl[:, last:last + 1]  # lane extract
-            suffix = (rcarry[...] + s_tot) - s_incl
-            dalpha = q * excl_lin * keep - suffix / (1.0 - alpha)
-            gate = (ok & (raw < LOG_ALPHA_MAX)).astype(jnp.float32)
-            dpow = dalpha * gate * alpha
-            dcoeff = _dot(basis_t, dpow)  # (8, chunk)
-            g1 = dcoeff[0:1, :]
-            gx = dcoeff[1:2, :]
-            gy = dcoeff[2:3, :]
-            gx2 = dcoeff[3:4, :]
-            gxy = dcoeff[4:5, :]
-            gy2 = dcoeff[5:6, :]
-            c_x = ca * mxl + cb * myl
-            c_y = cc * myl + cb * mxl
-            dmx = -g1 * c_x + gx * ca + gy * cb
-            dmy = -g1 * c_y + gx * cb + gy * cc
-            d_ca = -0.5 * g1 * mxl * mxl + gx * mxl - 0.5 * gx2
-            d_cb = -g1 * mxl * myl + gx * myl + gy * mxl - gxy
-            d_cc = -0.5 * g1 * myl * myl + gy * myl - 0.5 * gy2
             dvals_ext = jax.lax.dot_general(
                 g_ext, wgt, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (1 + n_val, chunk): row 0 = d(ONE row), rest values
-            parts = [dmx, dmy, d_ca, d_cb, d_cc, g1,
-                     dvals_ext[0:1, :],
-                     jnp.zeros((1, PAIR_CHUNK), jnp.float32),
-                     dvals_ext[1:, :]]
+            if values_only:
+                # dL/dv only (the FEATURE-phase post-densify contract:
+                # geometry/opacity carry no consumed gradient) — skips
+                # both 256-row matmuls of the alpha chain (q, the
+                # suffix scan) and the whole quadratic pullback.
+                del vals_ext
+                parts = [jnp.zeros((GEOM_COLS - 2, PAIR_CHUNK),
+                                   jnp.float32),
+                         dvals_ext[0:1, :],
+                         jnp.zeros((1, PAIR_CHUNK), jnp.float32),
+                         dvals_ext[1:, :]]
+            else:
+                q = _dot(g_ext, vals_ext)  # (PIX, chunk)
+                qw = q * wgt
+                s_incl = _dot(qw, scan_upper)
+                s_tot = s_incl[:, last:last + 1]  # lane extract
+                suffix = (rcarry[...] + s_tot) - s_incl
+                dalpha = q * excl_lin * keep - suffix / (1.0 - alpha)
+                gate = (ok & (raw < LOG_ALPHA_MAX)).astype(jnp.float32)
+                dpow = dalpha * gate * alpha
+                dcoeff = _dot(basis_t, dpow)  # (8, chunk)
+                g1 = dcoeff[0:1, :]
+                gx = dcoeff[1:2, :]
+                gy = dcoeff[2:3, :]
+                gx2 = dcoeff[3:4, :]
+                gxy = dcoeff[4:5, :]
+                gy2 = dcoeff[5:6, :]
+                c_x = ca * mxl + cb * myl
+                c_y = cc * myl + cb * mxl
+                dmx = -g1 * c_x + gx * ca + gy * cb
+                dmy = -g1 * c_y + gx * cb + gy * cc
+                d_ca = -0.5 * g1 * mxl * mxl + gx * mxl - 0.5 * gx2
+                d_cb = -g1 * mxl * myl + gx * myl + gy * mxl - gxy
+                d_cc = -0.5 * g1 * myl * myl + gy * myl - 0.5 * gy2
+                parts = [dmx, dmy, d_ca, d_cb, d_cc, g1,
+                         dvals_ext[0:1, :],
+                         jnp.zeros((1, PAIR_CHUNK), jnp.float32),
+                         dvals_ext[1:, :]]
             pad_rows = f_pad - GEOM_COLS - n_val
             if pad_rows:
                 parts.append(jnp.zeros((pad_rows, PAIR_CHUNK),
@@ -935,7 +951,8 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
             # in _transpose_slots, a separate Pallas pass)
             obuf[state[0], pl.ds(j * f_pad, f_pad), :] = (
                 jnp.concatenate(parts, axis=0))
-            rcarry[...] = rcarry[...] + s_tot
+            if not values_only:  # suffix carry feeds dalpha only
+                rcarry[...] = rcarry[...] + s_tot
             logtc[...] = t_start_log
 
     def sb_gate(w0):
@@ -1037,7 +1054,8 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
 
 def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
                    n_val, interpret, g_lo=None, rows_local=None,
-                   n_packed=0, with_color=True, emit_grads=True):
+                   n_packed=0, with_color=True, emit_grads=True,
+                   values_only=False):
     """Gradient kernel: (slot_cap, f_pad) ROW-MAJOR per-slot gradients.
 
     logt_stop / stop are the forward's per-tile residuals (local to
@@ -1103,7 +1121,8 @@ def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
                                gxn=gxn, num_tiles=num_tiles,
                                f_pad=f_pad, n_packed=n_packed,
                                with_color=with_color,
-                               emit_grads=emit_grads)
+                               emit_grads=emit_grads,
+                               values_only=values_only)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((s_pad * f_pad, PAIR_CHUNK),
@@ -1119,25 +1138,45 @@ def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
             has_side_effects=True),
     )(goff, gs, layout.meta_t, layout.win_off, stop_flat, ps_t, g,
       logt_stop, zeros_dpay)
-    return _transpose_slots(out, s_pad, f_pad, interpret=interpret)
+    # Lane-aligned (128-wide) per-slot rows for WIDE gradients: the
+    # un-sort's row gather of 48-col rows costs ~4x more than full-
+    # lane rows (probe_unsort @100k/K6: 46.9 -> 12.6 ms), worth the
+    # extra streamed zero-column writes. At f_pad 16 (GAUSSIAN phase)
+    # the narrow gather is already the faster one (10.9 vs 12.7 ms),
+    # so the layout stays narrow there.
+    f_out = PAIR_CHUNK if f_pad > 16 else f_pad
+    return _transpose_slots(out, s_pad, f_pad, interpret=interpret,
+                            f_out=f_out)
 
 
 _TRANS_B = 8  # windows per transpose grid step
 
 
-def _transpose_kernel(x_ref, o_ref, *, f_pad: int):
+def _transpose_kernel(x_ref, o_ref, *, f_pad: int, f_out: int):
     eye = jnp.eye(PAIR_CHUNK, dtype=jnp.float32)
     for j in range(_TRANS_B):
         g = x_ref[pl.ds(j * f_pad, f_pad), :]  # (f_pad, 128)
+        if f_out > f_pad:
+            # zero-pad the gradient rows so the transposed block is a
+            # full 128-lane row per slot: XLA's row gather of sub-128-
+            # lane rows runs ~4x slower than lane-aligned rows
+            # (tools/probe_unsort.py: 46.9 -> 12.6 ms at f_pad 48),
+            # so the un-sort gathers from this padded layout
+            g = jnp.concatenate(
+                [g, jnp.zeros((f_out - f_pad, PAIR_CHUNK), jnp.float32)],
+                axis=0)
         gt = jax.lax.dot_general(
             eye, g, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (128, f_pad)
+            preferred_element_type=jnp.float32)  # (128, f_out)
         o_ref[pl.ds(j * PAIR_CHUNK, PAIR_CHUNK), :] = gt
 
 
-def _transpose_slots(dpay_kmaj, s_cap, f_pad, *, interpret):
+def _transpose_slots(dpay_kmaj, s_cap, f_pad, *, interpret,
+                     f_out=None):
     """(s_cap * f_pad, 128) window-blocked k-major gradients ->
-    (s_cap * 128, f_pad) row-major per-slot gradients.
+    (s_cap * 128, f_out) row-major per-slot gradients (f_out defaults
+    to f_pad; pass f_out=128 for the lane-aligned layout the un-sort's
+    row gather wants — cols >= f_pad are zero).
 
     One MXU identity contraction per window block. A dedicated pass
     because DMA minor dims must be 128-aligned (so the backward kernel
@@ -1145,17 +1184,19 @@ def _transpose_slots(dpay_kmaj, s_cap, f_pad, *, interpret):
     XLA's own (f_pad, slots) -> (slots, f_pad) relayout measured
     ~52 ms at 48 rows — this kernel is HBM-streaming instead.
     """
+    if f_out is None:
+        f_out = f_pad
     nblk = -(-s_cap // _TRANS_B)
     return pl.pallas_call(
-        functools.partial(_transpose_kernel, f_pad=f_pad),
+        functools.partial(_transpose_kernel, f_pad=f_pad, f_out=f_out),
         grid=(nblk,),
         in_specs=[pl.BlockSpec((_TRANS_B * f_pad, PAIR_CHUNK),
                                lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((_TRANS_B * PAIR_CHUNK, f_pad),
+        out_specs=pl.BlockSpec((_TRANS_B * PAIR_CHUNK, f_out),
                                lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((s_cap * PAIR_CHUNK, f_pad),
+        out_shape=jax.ShapeDtypeStruct((s_cap * PAIR_CHUNK, f_out),
                                        jnp.float32),
         interpret=interpret,
     )(dpay_kmaj)
@@ -1201,7 +1242,7 @@ def pallas_composite(static_cfg, payload, sorted_pid, slot_of_sorted,
     (the transpose of the projection all-gather does the psum).
     """
     (num_tiles, tw, n_val, interpret, rows_local, n_packed,
-     with_color) = _pc_cfg(static_cfg)
+     with_color, _) = _pc_cfg(static_cfg)
     if n_packed:
         payload = pack_feature_rows(payload, n_val, n_packed, with_color)
     ps_t = _gather_pairs(payload, sorted_pid)
@@ -1215,20 +1256,16 @@ def pallas_composite(static_cfg, payload, sorted_pid, slot_of_sorted,
 
 def _pc_cfg(static_cfg):
     # (num_tiles, tw, n_val, interpret[, rows_local[, n_packed
-    #  [, with_color]]])
-    if len(static_cfg) == 4:
-        return (*static_cfg, None, 0, True)
-    if len(static_cfg) == 5:
-        return (*static_cfg, 0, True)
-    if len(static_cfg) == 6:
-        return (*static_cfg, True)
-    return static_cfg
+    #  [, with_color[, grad_values_only]]]])
+    pad = (None, 0, True, False)
+    n_opt = len(static_cfg) - 4
+    return (*static_cfg, *pad[n_opt:])
 
 
 def _pc_fwd(static_cfg, payload, sorted_pid, slot_of_sorted, layout,
             g_lo=None):
     (num_tiles, tw, n_val, interpret, rows_local, n_packed,
-     with_color) = _pc_cfg(static_cfg)
+     with_color, _) = _pc_cfg(static_cfg)
     n_rows = payload.shape[0]
     if n_packed:
         payload = pack_feature_rows(payload, n_val, n_packed, with_color)
@@ -1243,41 +1280,50 @@ def _pc_fwd(static_cfg, payload, sorted_pid, slot_of_sorted, layout,
 
 def _pc_bwd(static_cfg, res, g):
     (num_tiles, tw, n_val, interpret, rows_local, n_packed,
-     with_color) = _pc_cfg(static_cfg)
+     with_color, values_only) = _pc_cfg(static_cfg)
     (ps_t, sorted_pid, slot_of_sorted, layout, n_rows, logt_stop, stop,
      g_lo) = res
     dpay = _backward_impl(ps_t, layout, g, logt_stop, stop,
                           num_tiles=num_tiles, tw=tw, n_val=n_val,
                           interpret=interpret, g_lo=g_lo,
                           rows_local=rows_local, n_packed=n_packed,
-                          with_color=with_color)
+                          with_color=with_color,
+                          values_only=values_only)
+    f_pad = -(-(GEOM_COLS + n_val) // 8) * 8
     dpayload = unsort_slot_gradients(dpay, sorted_pid, slot_of_sorted,
-                                     n_rows)
+                                     n_rows, f_pad=f_pad)
     return dpayload, None, None, None, None
 
 
-def unsort_slot_gradients(dpay, sorted_pid, slot_of_sorted, n_rows):
-    """(slot_cap, f_pad) per-slot gradients -> (n_rows, f_pad)
-    per-gaussian payload gradients.
+def unsort_slot_gradients(dpay, sorted_pid, slot_of_sorted, n_rows,
+                          f_pad=None):
+    """(slot_rows, f_lane) per-slot gradients -> (n_rows, f_pad)
+    per-gaussian payload gradients (f_pad defaults to dpay's width;
+    when dpay is the lane-aligned 128-wide layout the extra columns
+    are zero and are sliced off after the K-fold).
 
     Un-sort without a scatter: ONE more sort inverts the pair
     permutation AND carries the slot map along as a payload
     (element-gathers are ~12 ms/M on TPU; a sort payload column is
     ~0.4 ms), then a ROW gather pulls per-slot gradient rows pid-major
-    (~4 ms — the old lane gather off a (f_pad, slots) layout cost
-    10-49 ms) and a minor-axis reduce folds each gaussian's K pair
-    rows. where-select, not multiply, for the invalid-pair rows:
-    NaN * 0 == NaN.
+    and a minor-axis reduce folds each gaussian's K pair rows. The
+    gather reads the 128-lane-aligned layout: XLA's row gather of
+    sub-128-lane rows costs ~4x more (probe_unsort: 46.9 vs 12.6 ms at
+    f_pad 48). The invalid-pair sentinel (slot_cap, one past the last
+    real slot) indexes the staging pad, which is zero by construction
+    (pre-zeroed aliased output + zero-carrying tail overruns), so no
+    select is needed on the gathered rows.
     """
     nk = sorted_pid.shape[0]
-    slot_cap, f_pad = dpay.shape
+    slot_rows, f_lane = dpay.shape
+    if f_pad is None:
+        f_pad = f_lane
     _, idx = jax.lax.sort((sorted_pid, slot_of_sorted),
                           num_keys=1)  # pid -> slot (slot_cap = invalid)
-    rows = jnp.where((idx < slot_cap)[:, None],
-                     dpay[jnp.minimum(idx, slot_cap - 1)], 0.0)
+    rows = dpay[jnp.minimum(idx, slot_rows - 1)]
     nn = n_rows - 1
     k = nk // nn
-    dreal = jnp.sum(rows.reshape(nn, k, f_pad), axis=1)
+    dreal = jnp.sum(rows.reshape(nn, k, f_lane), axis=1)[:, :f_pad]
     return jnp.concatenate(
         [dreal, jnp.zeros((1, f_pad), dreal.dtype)], axis=0)
 
@@ -1330,6 +1376,7 @@ def rasterize_tiled_pallas(
     cfg: RasterConfig = RasterConfig(),
     interpret: bool = False,
     with_color: bool = True,
+    grad_values_only: bool = False,
 ):
     """Drop-in replacement for ops.rasterize.rasterize_tiled (fwd + bwd).
 
@@ -1342,6 +1389,16 @@ def rasterize_tiled_pallas(
     dropping them is gradient-exact while cutting the payload stream
     (48 -> 40 rows unpacked; 32 -> 24 packed) and both kernels' value
     matmuls.
+
+    grad_values_only=True is a CALLER CONTRACT that only the VALUE-row
+    gradients (features/rgb/depth) of the payload will be consumed:
+    the backward kernel emits exact dL/dv and zeros for the geometry/
+    opacity rows, skipping both 256-row alpha-chain matmuls and the
+    quadratic pullback. Use when the upstream loss differentiates only
+    feature values (FEATURE phase once densification has ended —
+    reference train.py:362 gates add_densification_stats the same
+    way); wrong-mode use silently zeroes geometry grads, so callers
+    must gate it on their argnums.
     """
     if not with_color and extra_channels is None:
         raise ValueError("with_color=False requires extra_channels")
@@ -1357,7 +1414,8 @@ def rasterize_tiled_pallas(
             and extra_channels.shape[1] % 2 == 0):
         n_packed = extra_channels.shape[1] // 2
     out = pallas_composite(
-        (num_tiles, tw, n_val, interpret, None, n_packed, with_color),
+        (num_tiles, tw, n_val, interpret, None, n_packed, with_color,
+         grad_values_only),
         payload, sorted_pid, slot_of_sorted, layout
     )  # (th, 16, gxn*16, 16, 1 + n_val) — image patches
     gxt = out.shape[2] * TILE

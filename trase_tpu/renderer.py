@@ -42,17 +42,20 @@ def default_backend() -> str:
 
 
 def _rasterize(backend, proj, extra, bg_color, H, W, cfg,
-               with_color=True):
+               with_color=True, grad_values_only=False):
     if backend is None:
         backend = default_backend()
     if backend == "pallas":
-        return RTP.rasterize_tiled_pallas(proj, extra, bg_color, H, W,
-                                          cfg, with_color=with_color)
+        return RTP.rasterize_tiled_pallas(
+            proj, extra, bg_color, H, W, cfg, with_color=with_color,
+            grad_values_only=grad_values_only)
     if backend == "pallas_interpret":
-        return RTP.rasterize_tiled_pallas(proj, extra, bg_color, H, W,
-                                          cfg, interpret=True,
-                                          with_color=with_color)
+        return RTP.rasterize_tiled_pallas(
+            proj, extra, bg_color, H, W, cfg, interpret=True,
+            with_color=with_color, grad_values_only=grad_values_only)
     if backend == "dense":
+        # dense backend is plain XLA autodiff: unconsumed geometry
+        # grads are dead code XLA removes itself; no flag needed
         return RT.rasterize_tiled(proj, extra, bg_color, H, W, cfg,
                                   with_color=with_color)
     raise ValueError(f"unknown rasterizer backend: {backend}")
@@ -130,10 +133,18 @@ def render(
     mean2d_offset: jnp.ndarray | None = None,
     with_features: bool = True,
     with_color: bool = True,
+    grad_values_only: bool = False,
     raster_cfg: RT.RasterConfig = RT.RasterConfig(),
     backend: str | None = None,
 ):
     """Render one view. Returns the reference's output dict.
+
+    `grad_values_only=True` promises the caller consumes gradients only
+    of the composited VALUES (features/rgb/depth), not of geometry /
+    opacity / mean2d_offset — the Pallas backward then skips the alpha
+    chain (see rasterize_tiled_pallas). Valid only when the loss's
+    argnums really exclude geometry (FEATURE phase after densification
+    ends).
 
     `aux_alive`: (C,) bool alive-mask; `mask`: optional (C,) bool keep-mask
     (False = removed, reference `render(mask=...)`); `smooth_map`: (C,K)
@@ -197,7 +208,8 @@ def render(
         extra = feats
 
     out = _rasterize(backend, proj, extra, bg_color, H, W, raster_cfg,
-                     with_color=with_color)
+                     with_color=with_color,
+                     grad_values_only=grad_values_only)
 
     result = {
         "visibility_filter": proj.radius > 0,
