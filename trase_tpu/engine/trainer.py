@@ -623,14 +623,26 @@ def reset_opacity_step(state: TrainState):
     return state._replace(params=p, opt=opt)
 
 
+def _strong_typed(tree):
+    """Strip weak types from every leaf. A weak-typed leaf in the
+    initial TrainState (e.g. jnp.full with a python scalar) makes the
+    jitted step RETRACE on iteration 2 — the step's outputs are
+    strong-typed, so the avals differ — costing a silent ~60 s TPU
+    recompile. Canonicalizing here protects every entry path
+    (fresh init, checkpoint import, converters)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.convert_element_type(x, x.dtype)
+        if getattr(x, "weak_type", False) else x, tree)
+
+
 def init_train_state(params, aux, deform_vars) -> TrainState:
-    return TrainState(
+    return _strong_typed(TrainState(
         params=params,
         aux=aux,
         opt=G.init_opt_state(params),
         deform_vars=deform_vars,
         deform_opt=jax.tree_util.tree_map(adam_init, deform_vars),
-    )
+    ))
 
 
 def make_ast_noise_fn(num_frames: int, is_blender: bool):

@@ -101,15 +101,19 @@ def num_alive(aux: GaussianAux) -> jnp.ndarray:
 
 def empty_params(capacity: int, sh_degree: int) -> GaussianParams:
     r = (sh_degree + 1) ** 2 - 1
+    # explicit dtypes: jnp.full with a python scalar yields WEAK-typed
+    # f32, and a weak-typed leaf in the initial TrainState forces a
+    # full jit RETRACE of the train step on iteration 2 (the step's
+    # outputs are strong-typed) — a silent ~60 s recompile on TPU
     return GaussianParams(
         xyz=jnp.zeros((capacity, 3)),
         features_dc=jnp.zeros((capacity, 1, 3)),
         features_rest=jnp.zeros((capacity, r, 3)),
-        scaling=jnp.full((capacity, 3), -10.0),
+        scaling=jnp.full((capacity, 3), -10.0, jnp.float32),
         rotation=jnp.zeros((capacity, 4)).at[:, 0].set(1.0),
-        opacity=jnp.full((capacity, 1), DEAD_OPACITY_LOGIT),
+        opacity=jnp.full((capacity, 1), DEAD_OPACITY_LOGIT, jnp.float32),
         gaussian_features=jnp.zeros((capacity, FEATURE_DIM)),
-        cluster_id=jnp.full((capacity, 1), -1.0),
+        cluster_id=jnp.full((capacity, 1), -1.0, jnp.float32),
     )
 
 
