@@ -685,7 +685,7 @@ def _fwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
 
 def _span_walk_rev(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
                    tsem, process, sb_gate=None, sb_open=None,
-                   sb_close=None):
+                   sb_close=None, sb_empty=None):
     """Reverse-order twin of _span_walk: visits windows [w_lo, w_hi)
     in strictly DECREASING order (tail remainder first, then
     superblocks back-to-front, windows within each superblock
@@ -697,9 +697,13 @@ def _span_walk_rev(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
     `sb_open(w0)` / `sb_close(w0)` (optional) bracket each PROCESSED
     batch — the tail (as one batch based at the tail start) and each
     gated-in superblock — so the caller can stage per-batch output.
-    `process(get_block, w, guarded, j)` receives the window's section
-    index j within its batch (a python int for superblock windows, a
-    traced value for tail windows; both valid in pl.ds offsets)."""
+    `sb_empty(w0)` (optional) runs instead for a gated-OUT superblock
+    — callers that stage output use it to emit an explicit zero batch
+    so every window in [w_lo, w_hi) gets written without a pre-zeroed
+    output buffer. `process(get_block, w, guarded, j)` receives the
+    window's section index j within its batch (a python int for
+    superblock windows, a traced value for tail windows; both valid
+    in pl.ds offsets)."""
     nsb = (w_hi - w_lo) // SUPER
 
     def base_of(w):
@@ -777,16 +781,23 @@ def _span_walk_rev(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
             if sb_gate is None:
                 run_all(False)
             else:
-                @pl.when(sb_gate(w0))
+                gate = sb_gate(w0)
+
+                @pl.when(gate)
                 def _():
                     run_all(True)
+
+                if sb_empty is not None:
+                    @pl.when(jnp.logical_not(gate))
+                    def _():
+                        sb_empty(w0)
             return carry
 
         jax.lax.fori_loop(0, nsb, body, 0)
 
 
 def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
-                      stop_ref, payload_hbm, g_ref, logt_ref, zeros_ref,
+                      stop_ref, payload_hbm, g_ref, logt_ref,
                       dpay_hbm, pbuf, psem, obuf, osem, tbuf, tsem,
                       logtc, rcarry, state, *, n_val: int, tw: int,
                       gxn: int, num_tiles: int, f_pad: int,
@@ -803,26 +814,30 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
     and emits exact gradients with R_i = R_carry + (S_win - prefix_i).
     Windows at/after the tile's stop (stop_ref, forward early-
     termination point) have exactly zero gradient under the hard T_EPS
-    cutoff and are skipped wholesale — their slots stay at the
-    pre-zeroed (input_output_aliased) output's value.
+    cutoff and are computation-skipped wholesale — their batch emits
+    an explicit ZERO block (sb_empty), so the output needs no
+    pre-zeroed aliased buffer (the zeros fill + alias clone measured
+    ~2.3 ms/step at bench shape).
 
-    Output staging is BATCHED per walker superblock: each processed
-    batch accumulates its SUPER windows' kernel-native (f_pad, 128)
-    blocks in a zeroed (SUPER * f_pad, 128) buffer and emits ONE DMA
-    (a ~13k-window frame used to issue ~13k 8 KB DMAs — pure issue /
+    Output staging is BATCHED per walker superblock: each batch
+    accumulates its SUPER windows' kernel-native (f_pad, 128) blocks
+    in a zeroed (SUPER * f_pad, 128) buffer and emits ONE DMA (a
+    ~13k-window frame used to issue ~13k 8 KB DMAs — pure issue /
     wait overhead). The tail batch always writes full SUPER-window
     spans: the overrun rows beyond the group's last window carry
     zeros, land in the NEXT group's territory (or the staging pad of
     the final group), and are correct either way — grid steps run in
-    ascending group order, so a later group's own batches overwrite
-    them, and rows of superblocks the later group SKIPS must be zero
-    anyway. _transpose_slots relayouts the staging array row-major
-    afterwards so the un-sort is a row gather.
+    ascending group order, so a later group's own batches (every
+    batch now writes) overwrite them. Together the batches cover
+    exactly this group's [w_lo, w_hi); windows outside every group's
+    range ([win_hi, s_pad) and, in slab mode, other slabs' windows)
+    are zeroed by _transpose_slots' win_range mask instead.
+    _transpose_slots relayouts the staging array row-major afterwards
+    so the un-sort is a row gather.
 
     state (SMEM): [0] = next obuf slot, [1]/[2] = in-flight batch base
     window of slot 0/1 (-1 none), [3] = tile currently walked (-1).
     """
-    del zeros_ref  # aliases dpay_hbm; pre-zeroed by the caller
     gi = pl.program_id(0)
     g_abs = goff_ref[0] + gi
     w_lo = gstart_ref[gi]
@@ -961,9 +976,16 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
             any_run = jnp.logical_or(any_run, (w0 + j) < stop_of(w0 + j))
         return any_run
 
+    def sb_empty(w0):
+        # gated-out superblock: every window past its tile's stop has
+        # exactly zero gradient — emit the zeroed batch so the output
+        # needs no pre-zeroed aliased buffer
+        sb_open(w0)
+        sb_close(w0)
+
     _span_walk_rev(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
                    tsem, process, sb_gate, sb_open=sb_open,
-                   sb_close=sb_close)
+                   sb_close=sb_close, sb_empty=sb_empty)
 
     for s in range(2):
         @pl.when(state[1 + s] >= 0)
@@ -1060,9 +1082,9 @@ def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
 
     logt_stop / stop are the forward's per-tile residuals (local to
     this call's group range). With g_lo/rows_local set, runs only the
-    slab's groups — untouched slots stay zero (the output buffer is
-    pre-zeroed via input_output_aliases), so slab partials sum across
-    devices."""
+    slab's groups — slots outside the slab's window range are zeroed
+    by the transpose pass's win_range mask, so slab partials sum
+    across devices."""
     f_in = ps_t.shape[0]  # payload rows (packed when n_packed > 0)
     # gradient rows are always the UNPACKED value layout — bf16 value
     # packing affects only the payload stream, never the cotangent
@@ -1087,9 +1109,11 @@ def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
     # (s_cap * f_pad, 128) — the kernel writes SUPER-window batch
     # blocks whose flat bytes are each window's (128 slots, f_pad)
     # block. SUPER extra window rows of staging pad absorb the last
-    # group's full-span tail batch overrun (always zeros there).
+    # group's full-span tail batch overrun. Every batch in the group
+    # range writes (gated-out superblocks emit zero batches), so no
+    # pre-zeroed aliased output is needed; windows outside the range
+    # are zeroed by the transpose pass below.
     s_pad = s_cap + SUPER
-    zeros_dpay = jnp.zeros((s_pad * f_pad, PAIR_CHUNK), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(ngroups,),
@@ -1101,7 +1125,6 @@ def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
             pl.BlockSpec((1, TILE, PIX, 1),
                          lambda gi, *_: (gi, 0, 0, 0),
                          memory_space=pltpu.VMEM),  # logt_stop
-            pl.BlockSpec(memory_space=pltpu.ANY),  # zeros (aliased)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
@@ -1129,31 +1152,32 @@ def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-        # operands: 5 scalar-prefetch + [ps_t, g, logt_stop, zeros];
-        # the zeros input (index 8) aliases the output so skipped
-        # windows' slots read as exact zeros
-        input_output_aliases={8: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True),
     )(goff, gs, layout.meta_t, layout.win_off, stop_flat, ps_t, g,
-      logt_stop, zeros_dpay)
+      logt_stop)
     # Lane-aligned (128-wide) per-slot rows for WIDE gradients: the
     # un-sort's row gather of 48-col rows costs ~4x more than full-
     # lane rows (probe_unsort @100k/K6: 46.9 -> 12.6 ms), worth the
     # extra streamed zero-column writes. At f_pad 16 (GAUSSIAN phase)
     # the narrow gather is already the faster one (10.9 vs 12.7 ms),
-    # so the layout stays narrow there.
+    # so the layout stays narrow there. win_range zeroes every window
+    # outside this call's group coverage (unoccupied capacity, staging
+    # pad, other slabs in sharded mode).
     f_out = PAIR_CHUNK if f_pad > 16 else f_pad
+    win_range = jnp.stack([gs[0], gs[ngroups]]).astype(jnp.int32)
     return _transpose_slots(out, s_pad, f_pad, interpret=interpret,
-                            f_out=f_out)
+                            f_out=f_out, win_range=win_range)
 
 
 _TRANS_B = 8  # windows per transpose grid step
 
 
-def _transpose_kernel(x_ref, o_ref, *, f_pad: int, f_out: int):
+def _transpose_kernel(range_ref, x_ref, o_ref, *, f_pad: int,
+                      f_out: int):
     eye = jnp.eye(PAIR_CHUNK, dtype=jnp.float32)
+    i = pl.program_id(0)
     for j in range(_TRANS_B):
         g = x_ref[pl.ds(j * f_pad, f_pad), :]  # (f_pad, 128)
         if f_out > f_pad:
@@ -1168,15 +1192,25 @@ def _transpose_kernel(x_ref, o_ref, *, f_pad: int, f_out: int):
         gt = jax.lax.dot_general(
             eye, g, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (128, f_out)
+        # windows outside [win_lo, win_hi) were never written by the
+        # backward kernel's batches (unoccupied capacity, staging pad,
+        # other slabs in sharded mode): their slots must read zero
+        wid = i * _TRANS_B + j
+        in_r = jnp.logical_and(wid >= range_ref[0], wid < range_ref[1])
+        gt = jnp.where(in_r, gt, 0.0)
         o_ref[pl.ds(j * PAIR_CHUNK, PAIR_CHUNK), :] = gt
 
 
 def _transpose_slots(dpay_kmaj, s_cap, f_pad, *, interpret,
-                     f_out=None):
+                     f_out=None, win_range=None):
     """(s_cap * f_pad, 128) window-blocked k-major gradients ->
     (s_cap * 128, f_out) row-major per-slot gradients (f_out defaults
     to f_pad; pass f_out=128 for the lane-aligned layout the un-sort's
-    row gather wants — cols >= f_pad are zero).
+    row gather wants — cols >= f_pad are zero). win_range (2,) int32
+    [win_lo, win_hi): windows outside it emit zero blocks — the
+    backward kernel only writes windows its groups cover, so this
+    replaces a pre-zeroed aliased output (which cost a ~2.3 ms/step
+    zeros fill + clone at bench shape).
 
     One MXU identity contraction per window block. A dedicated pass
     because DMA minor dims must be 128-aligned (so the backward kernel
@@ -1186,20 +1220,25 @@ def _transpose_slots(dpay_kmaj, s_cap, f_pad, *, interpret,
     """
     if f_out is None:
         f_out = f_pad
+    if win_range is None:  # no masking: every window passes
+        win_range = jnp.array([0, 1 << 30], jnp.int32)
     nblk = -(-s_cap // _TRANS_B)
     return pl.pallas_call(
         functools.partial(_transpose_kernel, f_pad=f_pad, f_out=f_out),
-        grid=(nblk,),
-        in_specs=[pl.BlockSpec((_TRANS_B * f_pad, PAIR_CHUNK),
-                               lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((_TRANS_B * PAIR_CHUNK, f_out),
-                               lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblk,),
+            in_specs=[pl.BlockSpec((_TRANS_B * f_pad, PAIR_CHUNK),
+                                   lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((_TRANS_B * PAIR_CHUNK, f_out),
+                                   lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
         out_shape=jax.ShapeDtypeStruct((s_cap * PAIR_CHUNK, f_out),
                                        jnp.float32),
         interpret=interpret,
-    )(dpay_kmaj)
+    )(win_range, dpay_kmaj)
 
 
 def _gather_pairs(payload, sorted_pid):
