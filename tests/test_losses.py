@@ -219,6 +219,29 @@ def test_adam_row_mask_freezes_rows():
     assert np.all(np.asarray(st2.mu)[1] == 0.0)
 
 
+def test_bilinear_resize_mm_matches_resize():
+    """The matmul-form resize (static 2-tap lerp matrices, dense VJP)
+    must reproduce bilinear_resize, including border-clamped taps and
+    the no-op same-size case."""
+    import jax
+    import jax.numpy as jnp
+
+    from trase_tpu.utils.image import bilinear_resize, bilinear_resize_mm
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(37, 53, 6)).astype(np.float32))
+    for oh, ow in ((19, 27), (37, 53), (10, 13)):
+        want = np.asarray(bilinear_resize(img, oh, ow))
+        got = np.asarray(bilinear_resize_mm(img, oh, ow))
+        # 2e-5: the dot sums taps in a different association than the
+        # two-product lerp (and merges clamped-border taps exactly)
+        np.testing.assert_allclose(got, want, atol=2e-5,
+                                   err_msg=f"{oh}x{ow}")
+    # gradient flows and is dense-finite
+    g = jax.grad(lambda x: bilinear_resize_mm(x, 19, 27).sum())(img)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_bilinear_sample_flat_matches_resize():
     """bilinear_sample_flat == bilinear_resize-then-index (the FEATURE
     step's sampled fast path must be value-identical to the reference's

@@ -471,28 +471,55 @@ def _feature_phase_body(
         # channels-last feature image: the kernel-native layout — the
         # (F,H,W) transpose costs ~170 MB each way at 1K/32ch and this
         # path only ever samples pixels
-        feats = out["render_gaussian_features_hwc"]  # (H, W, F)
-        # safe norm: background pixels composite to exactly 0, where
-        # linalg.norm's gradient is NaN
-        norm_per_px = jnp.sqrt(jnp.sum(feats * feats, axis=-1) + 1e-12)
-        rendered_feature_norm = norm_per_px.mean()
-        rfn_reg = (1.0 - rendered_feature_norm) ** 2
-
         hm, wm = mask_hw
-        if feats.shape[:2] != (hm, wm):
-            # torch-interpolate-equivalent bilinear (align_corners=False,
-            # NO antialias), matching reference train.py:284 — but only
-            # at the P sampled pixels: the loss never reads the rest of
-            # the resized image, and the 4-tap gather is value- and
-            # association-identical to resize-then-index while skipping
-            # the full-image resize fwd AND its dense VJP
-            from ..utils.image import bilinear_sample_flat
+        featsA = out.get("render_gaussian_features_acc_hwc")
+        if featsA is not None:
+            # pallas fast path: (H, W, 1 + F) with the alpha
+            # accumulator in column 0, UNSLICED — |feats|^2 per pixel
+            # is rowsum(featsA^2) - acc^2, so the ~350 MB channel-
+            # slice copy (+ its VJP pad) never materializes
+            sq = (jnp.sum(featsA * featsA, axis=-1)
+                  - featsA[..., 0] * featsA[..., 0])
+            norm_per_px = jnp.sqrt(jnp.maximum(sq, 0.0) + 1e-12)
+            rendered_feature_norm = norm_per_px.mean()
+            rfn_reg = (1.0 - rendered_feature_norm) ** 2
+            if featsA.shape[:2] != (hm, wm):
+                # matmul-form resize (reference train.py:284's
+                # interpolate): dense VJP — the point-tap sampler's
+                # scatter VJP made XLA insert two ~5 ms while-loop
+                # layout conversions at this shape (r5 device trace)
+                from ..utils.image import bilinear_resize_mm
 
-            sampled = bilinear_sample_flat(feats, sample.pixel_idx,
-                                           hm, wm)
+                resized = bilinear_resize_mm(featsA, hm, wm)
+                sampled = resized.reshape(
+                    -1, resized.shape[-1])[sample.pixel_idx][:, 1:]
+            else:
+                sampled = featsA.reshape(
+                    -1, featsA.shape[-1])[sample.pixel_idx][:, 1:]
             C_F = _cosine_gram(sampled)
         else:
-            C_F = features_correspondence_matrix_hwc(feats, sample)
+            feats = out["render_gaussian_features_hwc"]  # (H, W, F)
+            # safe norm: background pixels composite to exactly 0,
+            # where linalg.norm's gradient is NaN
+            norm_per_px = jnp.sqrt(
+                jnp.sum(feats * feats, axis=-1) + 1e-12)
+            rendered_feature_norm = norm_per_px.mean()
+            rfn_reg = (1.0 - rendered_feature_norm) ** 2
+            if feats.shape[:2] != (hm, wm):
+                # torch-interpolate-equivalent bilinear
+                # (align_corners=False, NO antialias), matching
+                # reference train.py:284 — but only at the P sampled
+                # pixels: the loss never reads the rest of the resized
+                # image, and the 4-tap gather is value- and
+                # association-identical to resize-then-index while
+                # skipping the full-image resize fwd AND its dense VJP
+                from ..utils.image import bilinear_sample_flat
+
+                sampled = bilinear_sample_flat(feats, sample.pixel_idx,
+                                               hm, wm)
+                C_F = _cosine_gram(sampled)
+            else:
+                C_F = features_correspondence_matrix_hwc(feats, sample)
         pos = positive_pixel_pair_loss[contrastive_mode](
             C, C_F, sample, positive_th=positive_th, weights=weights
         )

@@ -1359,10 +1359,13 @@ def unsort_slot_gradients(dpay, sorted_pid, slot_of_sorted, n_rows,
         f_pad = f_lane
     _, idx = jax.lax.sort((sorted_pid, slot_of_sorted),
                           num_keys=1)  # pid -> slot (slot_cap = invalid)
-    rows = dpay[jnp.minimum(idx, slot_rows - 1)]
     nn = n_rows - 1
     k = nk // nn
-    dreal = jnp.sum(rows.reshape(nn, k, f_lane), axis=1)[:, :f_pad]
+    # gather with (nn, k) indices directly: a flat (nk, f) gather
+    # followed by reshape costs a full relayout copy of the gathered
+    # array (~2.2 ms at bench shape, trace ops reshape.30 + copy.90)
+    idx2 = jnp.minimum(idx, slot_rows - 1).reshape(nn, k)
+    dreal = jnp.sum(dpay[idx2], axis=1)[:, :f_pad]
     return jnp.concatenate(
         [dreal, jnp.zeros((1, f_pad), dreal.dtype)], axis=0)
 
@@ -1474,6 +1477,13 @@ def rasterize_tiled_pallas(
     feats_hwc = None
     if extra_channels is not None:
         feats_hwc = hwc[..., 4:-1] if with_color else hwc[..., 1:]
+    if not with_color:
+        # [acc | feats] channels-last, UNSLICED on the channel axis:
+        # the [..., 1:] minor-dim slice above materializes a ~350 MB
+        # copy at 1K/32ch (trace op slice.194, ~2 ms + its VJP pad) —
+        # losses that can consume the accumulator column too (the
+        # FEATURE phase reads |feats| via total^2 - acc^2) skip it
+        result["feats_acc_hwc"] = hwc
     if feats_hwc is not None:
         # hwc is the kernel-native layout; the CHW transpose costs
         # ~170 MB each way at 1K/32ch, so expose both and let jit

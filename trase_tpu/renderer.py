@@ -226,6 +226,12 @@ def render(
     if with_features:
         result["render_gaussian_features"] = out["feats"]
         result["render_gaussian_features_hwc"] = out["feats_hwc"]
+        if "feats_acc_hwc" in out:
+            # pallas features-only fast path: [acc | feats] unsliced
+            # (see rasterize_tiled_pallas) — lets the FEATURE loss
+            # avoid the minor-dim channel-slice copy
+            result["render_gaussian_features_acc_hwc"] = (
+                out["feats_acc_hwc"])
     return result
 
 

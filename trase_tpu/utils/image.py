@@ -5,7 +5,9 @@ MSE/PSNR flattened over pixels, keeping the batch dim).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def mse(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
@@ -47,6 +49,42 @@ def bilinear_resize(img: jnp.ndarray, out_h: int, out_w: int,
             + img[y1] * wy[:, None, None])  # (out_h, W, C)
     return (rows[:, x0] * (1.0 - wx)[None, :, None]
             + rows[:, x1] * wx[None, :, None])
+
+
+def _lerp_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """(out_size, in_size) matrix with the two bilinear taps per row
+    (align_corners=False, no antialias) — W @ x == the 1-D lerp
+    resample. Built in numpy at trace time: the weights are static."""
+    dst = np.arange(out_size, dtype=np.float64)
+    src = np.clip((dst + 0.5) * (in_size / out_size) - 0.5,
+                  0.0, in_size - 1)
+    i0 = np.floor(src).astype(np.int64)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    f = (src - i0).astype(np.float32)
+    m = np.zeros((out_size, in_size), np.float32)
+    m[np.arange(out_size), i0] += 1.0 - f
+    m[np.arange(out_size), i1] += f
+    return m
+
+
+def bilinear_resize_mm(img: jnp.ndarray, out_h: int,
+                       out_w: int) -> jnp.ndarray:
+    """bilinear_resize as two MXU contractions against static 2-tap
+    lerp matrices. Same values (within MXU f32 accumulation rounding)
+    and the same align_corners=False/no-antialias semantics, but the
+    VJP is two transposed matmuls — fully dense, no scatter. The
+    gather/scatter formulations (bilinear_resize's VJP, or the
+    point-tap sampler's 4P-row scatter) make XLA choose a channel-
+    major scatter layout and insert two ~5 ms while-loop relayouts at
+    1K/33ch (r5 device trace, fstep while.1); this form costs ~2-3 ms
+    fwd+bwd in plain dots. img: (H, W, C) -> (out_h, out_w, C)."""
+    h, w = img.shape[:2]
+    wh = jnp.asarray(_lerp_matrix(out_h, h))
+    ww = jnp.asarray(_lerp_matrix(out_w, w))
+    rows = jnp.einsum("oh,hwc->owc", wh, img,
+                      precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("pw,owc->opc", ww, rows,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _bilinear_taps(dst: jnp.ndarray, in_size: int, out_size: int):
