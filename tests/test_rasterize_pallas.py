@@ -134,12 +134,12 @@ class TestWindowLayout:
         sg = np.asarray(sg_pad).reshape(s_cap, chunk)
 
         # bookkeeping: win_start nondecreasing, capped at total_win;
-        # group_start = window starts of each 16-tile row segment
+        # group_start = window starts of each gx-tile row segment
         assert ws[0] == 0 and ws[num_tiles] == total_win
         assert (np.diff(ws) >= 0).all()
-        gxn = -(-tw // 16)
+        gx, gxn = RP.group_geometry(tw)
         g = np.arange(th * gxn)
-        tile_lo = (g // gxn) * tw + (g % gxn) * 16
+        tile_lo = (g // gxn) * tw + (g % gxn) * gx
         np.testing.assert_array_equal(gs[:-1], ws[tile_lo])
         assert gs[-1] == total_win
 

@@ -120,14 +120,14 @@ def main(argv=None):
     gs = np.asarray(layout.group_start)
     total_win = int(np.asarray(layout.total_win))
     # count processed windows: per tile, windows [first, stop)
-    gxn = -(-tw // RP.TILE)
+    gx_, gxn = RP.group_geometry(tw)
     processed = 0
     for gi in range(stop_np.shape[0]):
-        tile_lo = (gi // gxn) * tw + (gi % gxn) * RP.TILE
+        tile_lo = (gi // gxn) * tw + (gi % gxn) * gx_
         for wi in range(int(gs[gi]), int(gs[gi + 1])):
             mt = int(meta[wi])
             tx = (mt >> 9) - tile_lo
-            if 0 <= tx < RP.TILE and wi < stop_np[gi, tx]:
+            if 0 <= tx < gx_ and wi < stop_np[gi, tx]:
                 processed += 1
     print(json.dumps({
         "setting": {"n": n, "H": H, "W": W, "k": args.k,

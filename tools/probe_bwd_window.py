@@ -203,7 +203,7 @@ def main(argv=None):
 
     meta_t = np.asarray(layout.meta_t)
     gs = np.asarray(layout.group_start)
-    gxn = -(-tw // RP.TILE)
+    gx_, gxn = RP.group_geometry(tw)
     logt_np = np.asarray(logt_stop)  # (ngroups, TILE, 256, 1)
     stop_np = np.asarray(stop)[:, :, 0, 0].astype(np.int64)
     ps_np = np.asarray(ps_t)  # (f_pad, pairs + SPAN)
@@ -214,7 +214,7 @@ def main(argv=None):
         gi = int(np.searchsorted(gs, w, side="right") - 1)
         mt = int(meta_t[w])
         t = mt >> 9
-        tile_lo = (gi // gxn) * tw + (gi % gxn) * RP.TILE
+        tile_lo = (gi // gxn) * tw + (gi % gxn) * gx_
         tx = t - tile_lo
         stop_w = int(stop_np[gi, tx])
         print(f"\nwindow {w}: group {gi} tile {t} (tx {tx}) "
@@ -224,7 +224,7 @@ def main(argv=None):
         tile_ws = [wi for wi in range(gs[gi], gs[gi + 1])
                    if (int(meta_t[wi]) >> 9) == t and wi < stop_w]
         r, gx = gi // gxn, gi % gxn
-        gpatch = g_np[r, :, gx * RP.TILE + tx, :, :].reshape(
+        gpatch = g_np[r, :, gx * gx_ + tx, :, :].reshape(
             256, 1 + n_val)
         woff = np.asarray(layout.win_off)
         for dtype in (np.float32, np.float64):

@@ -164,6 +164,23 @@ def _segment_fill(boundary_pos, values, valid, size):
     return _cumsum_small(z[:size])
 
 
+def group_geometry(tw: int) -> tuple[int, int]:
+    """(gx, gxn): tiles per group along x, and groups per tile row.
+
+    Prefer a gx that divides tw EXACTLY so the kernels' patch grid
+    reshapes to the image with no width padding — the padded grid's
+    [:W] slice materializes a pad + copy pair in both the forward and
+    its VJP (~4 ms of pure data movement per train step at 1K,
+    trace ops pad.68/copy.85/copy.96). Falls back to the padded
+    16-wide grouping when tw has no divisor in [6, 16]."""
+    if tw <= 16:
+        return tw, 1
+    for gx in range(16, 5, -1):
+        if tw % gx == 0:
+            return gx, tw // gx
+    return TILE, -(-tw // TILE)
+
+
 class WindowLayout(NamedTuple):
     """Static-shape binning metadata shared by the kernels (all int32)."""
 
@@ -340,14 +357,14 @@ def build_window_layout(proj: ProjectedGaussians, image_height: int,
     slot_of_sorted = jnp.where(pp < tile_start[num_tiles],
                                pp + fill, slot_cap)
 
-    # Groups = 16-tile row segments: group (r, gx) covers tiles
-    # [r*tw + gx*16, r*tw + min(gx*16+16, tw)), so each group's output
-    # block is one (16, 256, 16, c) IMAGE patch — assembly becomes a
-    # free reshape instead of two full-image transposes.
-    gxn = -(-tw // TILE)
+    # Groups = gx-tile row segments (group_geometry: gx divides tw
+    # when possible): each group's output block is one
+    # (16, gx*16, 16, c) IMAGE patch — assembly becomes a free
+    # reshape, with no width pad/slice when gx | tw.
+    gx, gxn = group_geometry(tw)
     ngroups = th * gxn
     g = jnp.arange(ngroups, dtype=jnp.int32)
-    tile_lo = (g // gxn) * tw + (g % gxn) * TILE
+    tile_lo = (g // gxn) * tw + (g % gxn) * gx
     wstart_pad = jnp.concatenate(
         [wstart, jnp.full((1,), total_win, jnp.int32)])
     group_start = jnp.concatenate(
@@ -572,9 +589,10 @@ def _span_walk(w_lo, w_hi, woff_ref, payload_hbm, pbuf, psem, tbuf,
 
 def _fwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
                       payload_hbm, *rest, n_val: int, tw: int,
-                      gxn: int, num_tiles: int, with_residuals: bool,
+                      gxn: int, gx: int, num_tiles: int,
+                      with_residuals: bool,
                       n_packed: int = 0, with_color: bool = True):
-    """One grid step = one group (a 16-tile row segment).
+    """One grid step = one group (a gx-tile row segment).
 
     Reads the pair-ordered payload through the span walker — no
     aligned-slot relayout exists anywhere in the forward path. The
@@ -598,7 +616,7 @@ def _fwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
     g_abs = goff_ref[0] + gi  # global group id (sharded slabs offset)
     w_lo = gstart_ref[gi]
     w_hi = gstart_ref[gi + 1]
-    tile_lo = (g_abs // gxn) * tw + (g_abs % gxn) * TILE
+    tile_lo = (g_abs // gxn) * tw + (g_abs % gxn) * gx
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
     if with_residuals:
         logt_out[...] = jnp.zeros(logt_out.shape, logt_out.dtype)
@@ -800,7 +818,7 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
                       stop_ref, payload_hbm, g_ref, logt_ref,
                       dpay_hbm, pbuf, psem, obuf, osem, tbuf, tsem,
                       logtc, rcarry, state, *, n_val: int, tw: int,
-                      gxn: int, num_tiles: int, f_pad: int,
+                      gxn: int, gx: int, num_tiles: int, f_pad: int,
                       n_packed: int = 0, with_color: bool = True,
                       emit_grads: bool = True,
                       values_only: bool = False):
@@ -842,7 +860,7 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
     g_abs = goff_ref[0] + gi
     w_lo = gstart_ref[gi]
     w_hi = gstart_ref[gi + 1]
-    tile_lo = (g_abs // gxn) * tw + (g_abs % gxn) * TILE
+    tile_lo = (g_abs // gxn) * tw + (g_abs % gxn) * gx
     state[0] = 0
     state[1] = -1
     state[2] = -1
@@ -875,7 +893,7 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
 
     def stop_of(w):
         mt = metat_ref[w]
-        return stop_ref[gi * TILE + ((mt >> 9) - tile_lo)]
+        return stop_ref[gi * gx + ((mt >> 9) - tile_lo)]
 
     def process(get_block, w, guarded, j):
         mt = metat_ref[w]
@@ -883,7 +901,7 @@ def _bwd_group_kernel(goff_ref, gstart_ref, metat_ref, woff_ref,
         cnt = mt & 255
         tx = t - tile_lo
 
-        @pl.when(w < stop_ref[gi * TILE + tx])
+        @pl.when(w < stop_ref[gi * gx + tx])
         def _():
             @pl.when(t != state[3])
             def _():
@@ -1002,13 +1020,13 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
 
     Returns (patches, logt_stop, stop_f): the image-patch
     accumulations plus the per-tile backward residuals
-    (logt_stop (ngroups, TILE, PIX, 1) f32, stop_f (ngroups, TILE,
+    (logt_stop (ngroups, gx, PIX, 1) f32, stop_f (ngroups, gx,
     8, 1) f32 window indices — see _fwd_group_kernel). With
     with_residuals=False (inference/fwd-only paths) the side outputs
     are not computed and return as None."""
     f_pad, p_cols = sorted_payload.shape
     th = num_tiles // tw
-    gxn = -(-tw // TILE)
+    gx, gxn = group_geometry(tw)
     if rows_local is None:
         rows_local = th
     ngroups = rows_local * gxn
@@ -1021,25 +1039,25 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
                                    (goff[0],), (ngroups + 1,))
     c_out = n_val + 1
     img_spec = pl.BlockSpec(
-        (1, TILE, TILE, TILE, c_out),
+        (1, TILE, gx, TILE, c_out),
         lambda g, *_: (g // gxn, 0, g % gxn, 0, 0),
         memory_space=pltpu.VMEM)
     img_shape = jax.ShapeDtypeStruct(
-        (rows_local, TILE, gxn * TILE, TILE, c_out), jnp.float32)
+        (rows_local, TILE, gxn * gx, TILE, c_out), jnp.float32)
     if with_residuals:
         out_specs = (
             img_spec,
-            pl.BlockSpec((1, TILE, PIX, 1),
+            pl.BlockSpec((1, gx, PIX, 1),
                          lambda g, *_: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE, 8, 1),
+            pl.BlockSpec((1, gx, 8, 1),
                          lambda g, *_: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         )
         out_shape = (
             img_shape,
-            jax.ShapeDtypeStruct((ngroups, TILE, PIX, 1), jnp.float32),
-            jax.ShapeDtypeStruct((ngroups, TILE, 8, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ngroups, gx, PIX, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ngroups, gx, 8, 1), jnp.float32),
         )
     else:
         out_specs = img_spec
@@ -1058,7 +1076,7 @@ def _forward_impl(sorted_payload, layout, *, num_tiles, tw, n_val,
         ],
     )
     kernel = functools.partial(_fwd_group_kernel, n_val=n_val, tw=tw,
-                               gxn=gxn, num_tiles=num_tiles,
+                               gxn=gxn, gx=gx, num_tiles=num_tiles,
                                with_residuals=with_residuals,
                                n_packed=n_packed, with_color=with_color)
     out = pl.pallas_call(
@@ -1090,7 +1108,7 @@ def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
     # packing affects only the payload stream, never the cotangent
     f_pad = -(-(GEOM_COLS + n_val) // 8) * 8
     th = num_tiles // tw
-    gxn = -(-tw // TILE)
+    gx, gxn = group_geometry(tw)
     if rows_local is None:
         rows_local = th
     ngroups = rows_local * gxn
@@ -1119,10 +1137,10 @@ def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
         grid=(ngroups,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # payload
-            pl.BlockSpec((1, TILE, TILE, TILE, c_out),
+            pl.BlockSpec((1, TILE, gx, TILE, c_out),
                          lambda gi, *_: (gi // gxn, 0, gi % gxn, 0, 0),
                          memory_space=pltpu.VMEM),  # cotangent patches
-            pl.BlockSpec((1, TILE, PIX, 1),
+            pl.BlockSpec((1, gx, PIX, 1),
                          lambda gi, *_: (gi, 0, 0, 0),
                          memory_space=pltpu.VMEM),  # logt_stop
         ],
@@ -1141,7 +1159,7 @@ def _backward_impl(ps_t, layout, g, logt_stop, stop, *, num_tiles, tw,
         ],
     )
     kernel = functools.partial(_bwd_group_kernel, n_val=n_val, tw=tw,
-                               gxn=gxn, num_tiles=num_tiles,
+                               gxn=gxn, gx=gx, num_tiles=num_tiles,
                                f_pad=f_pad, n_packed=n_packed,
                                with_color=with_color,
                                emit_grads=emit_grads,

@@ -217,7 +217,7 @@ def _composite_my_rows_pallas(proj, extra, bg_color, H, W,
     height is padded so the tile-row count divides the mesh; the
     padded rows are empty and sliced away."""
     th, tw = RT._tile_grid(H, W)
-    gxn = -(-tw // RP.TILE)
+    _, gxn = RP.group_geometry(tw)
     rows_pad = -(-th // n_shards) * n_shards
     h_pad = rows_pad * RP.TILE
     sorted_pid, slot_of_sorted, layout, overflow = RP.build_window_layout(
